@@ -1,0 +1,8 @@
+from .ft_transformer import FTTransformer  # noqa: F401
+from .tabgnn import TABGNN, PNALayer  # noqa: F401
+from .fused import TABGNNFused, FTTransformerPNAFusedLayer  # noqa: F401
+from .interleaved import (  # noqa: F401
+    TABGNNInterleaved,
+    FTTransformerPNAInterleavedLayer,
+)
+from .rowcol import RCTransformer  # noqa: F401

@@ -1,0 +1,130 @@
+"""Column-attention transformer blocks for tabular token sequences.
+
+The reference builds its tabular path from ``torch.nn.TransformerEncoderLayer``
+over ``[batch, num_cols+1, channels]`` token sequences with a prepended CLS
+embedding (``src/nn/models/tabgnn.py:193-219``, ``fused.py:82-96``) and from
+torch-frame's ``FTTransformerConvs`` backbone
+(``src/nn/models/ft_transformer.py:90-92``).
+
+TPU notes: the sequence axis is tiny (num_cols+1, e.g. 6 for AML) while the
+batch axis is large, so attention here is a batched small-matmul problem —
+implemented with einsum so XLA maps it onto the MXU and fuses the
+elementwise tail; no flash-attention machinery is needed (SURVEY §5
+long-context: sequence parallelism is structurally unnecessary).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MultiHeadSelfAttention(nn.Module):
+    channels: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        B, S, C = x.shape
+        assert C % self.nhead == 0, "channels must divide nhead"
+        hd = C // self.nhead
+        qkv = nn.Dense(3 * C, name="qkv")(x)  # [B, S, 3C]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, S, self.nhead, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+        attn = nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(C, name="out")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer matching ``torch.nn.TransformerEncoderLayer``
+    defaults (norm_first=False):
+        x = norm1(x + dropout(attn(x)))
+        x = norm2(x + dropout(linear2(dropout(act(linear1(x))))))
+    """
+
+    channels: int
+    nhead: int
+    feedforward_channels: Optional[int] = None
+    dropout: float = 0.5
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        ff = self.feedforward_channels or self.channels
+        attn = MultiHeadSelfAttention(self.channels, self.nhead, self.dropout,
+                                      name="self_attn")(x, deterministic)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        h = nn.Dense(ff, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(act(h), deterministic=deterministic)
+        h = nn.Dense(self.channels, name="linear2")(h)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout)(h, deterministic=deterministic))
+        return x
+
+
+class FTTransformerLayer(nn.Module):
+    """Half-residual column-attention layer: ``(x + LN(encoder(x))) / 2``
+    (reference ``FTTransformerLayer.forward``, ``tabgnn.py:216-219``)."""
+
+    channels: int
+    nhead: int = 8
+    feedforward_channels: Optional[int] = None
+    dropout: float = 0.5
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        conv = TransformerEncoderLayer(
+            self.channels, self.nhead, self.feedforward_channels,
+            self.dropout, self.activation, name="tab_conv")(x, deterministic)
+        return (x + nn.LayerNorm(name="tab_norm")(conv)) / 2.0
+
+
+class CLSToken(nn.Module):
+    """Learned CLS embedding prepended to the column-token axis (reference
+    ``cls_embedding``, ``tabgnn.py:57,116-122``; init std=0.01)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, S, C]
+        cls = self.param("cls", nn.initializers.normal(0.01),
+                         (self.channels,))
+        B = x.shape[0]
+        tok = jnp.broadcast_to(cls, (B, 1, self.channels))
+        return jnp.concatenate([tok, x], axis=1)
+
+
+class FTTransformerConvs(nn.Module):
+    """Column-transformer backbone: CLS prepend → N encoder layers → split
+    (feature tokens, CLS) — the torch-frame ``FTTransformerConvs`` surface
+    the reference wraps (``src/nn/models/ft_transformer.py:90-92,126-138``).
+    """
+
+    channels: int
+    num_layers: int
+    nhead: int = 8
+    dropout: float = 0.2
+    feedforward_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        x = CLSToken(self.channels, name="cls_token")(x)
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.channels, self.nhead, self.feedforward_channels,
+                self.dropout, name=f"layer_{i}")(x, deterministic)
+        x = nn.LayerNorm(name="final_norm")(x)
+        return x[:, 1:], x[:, 0]

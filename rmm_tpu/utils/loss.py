@@ -1,0 +1,107 @@
+"""Self-supervised and supervised losses, fully vectorized for jit.
+
+Rebuilds ``src/utils/loss.py``. The reference's ``mcm_loss`` splits batch
+rows by masked-column index with a Python loop over categorical rows
+(``loss.py:55-57``) and runs on CPU each step (``fused.py:289-290``); here
+the split becomes one-hot masks so the whole loss jits on device
+(SURVEY §7 hard part 2). Contract preserved:
+
+  mcm_loss → (total, (cat_loss_sum, t_c, acc_count), (num_loss_sum, t_n))
+  total = cat_loss_sum / t_c + sqrt(num_loss_sum / t_n)   (degenerate cases:
+  only the defined branch, ``loss.py:66-72``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def lp_loss(pos_pred, neg_pred, pos_mask=None, neg_mask=None):
+    """−mean log pos − mean log (1−neg)  (``loss.py:10-11``)."""
+    lp = jnp.log(pos_pred + 1e-12)
+    ln = jnp.log(1.0 - neg_pred + 1e-12)
+    if pos_mask is not None:
+        m = pos_mask.reshape(lp.shape[0], *([1] * (lp.ndim - 1)))
+        pos_term = (lp * m).sum() / jnp.maximum(m.sum() * lp.shape[-1], 1.0)
+    else:
+        pos_term = lp.mean()
+    if neg_mask is not None:
+        m = neg_mask.reshape(ln.shape[0], *([1] * (ln.ndim - 1)))
+        neg_term = (ln * m).sum() / jnp.maximum(m.sum() * ln.shape[-1], 1.0)
+    else:
+        neg_term = ln.mean()
+    return -pos_term - neg_term
+
+
+def cross_entropy(logits, labels, weights: Optional[jnp.ndarray] = None,
+                  mask=None):
+    """Per-class-weighted CE, mean-reduced over valid rows (reference
+    ``torch.nn.CrossEntropyLoss(weight=...)``, ``main.py:335``).
+
+    torch semantics: mean = Σ w_y·ce / Σ w_y.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    labels = labels.astype(jnp.int32)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if weights is not None:
+        w = jnp.asarray(weights)[labels]
+    else:
+        w = jnp.ones_like(ce)
+    if mask is not None:
+        w = w * mask.astype(w.dtype)
+    return (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
+class SSLoss:
+    """Self-supervised loss bundle (``src/utils/loss.py:5-78``)."""
+
+    def __init__(self, num_numerical: int):
+        self.num_numerical = num_numerical
+
+    def lp_loss(self, pos_pred, neg_pred, pos_mask=None, neg_mask=None):
+        return lp_loss(pos_pred, neg_pred, pos_mask, neg_mask)
+
+    def mcm_loss(self, cat_out: Sequence[jnp.ndarray], num_out: jnp.ndarray,
+                 y: jnp.ndarray, valid_mask=None):
+        """y: [B, ≥2] with y[:,0]=masked value, y[:,1]=masked column index
+        (columns ordered numerical-first, ``util/mask.py:56-77``)."""
+        y_val, y_idx = y[:, 0], y[:, 1].astype(jnp.int32)
+        valid = (jnp.ones_like(y_val, dtype=bool) if valid_mask is None
+                 else valid_mask.astype(bool))
+
+        nn_ = self.num_numerical
+        num_mask = (y_idx < nn_) & valid
+        # numerical: squared error at the masked column
+        col = jnp.clip(y_idx, 0, max(num_out.shape[1] - 1, 0))
+        pred = jnp.take_along_axis(num_out, col[:, None], axis=1)[:, 0]
+        num_loss = jnp.sum(jnp.where(num_mask, (pred - y_val) ** 2, 0.0))
+        t_n = num_mask.sum()
+
+        cat_loss = jnp.asarray(0.0)
+        acc = jnp.asarray(0.0)
+        t_c = jnp.asarray(0, dtype=jnp.int32)
+        for j, logits in enumerate(cat_out):
+            sel = (y_idx == nn_ + j) & valid
+            tgt = jnp.clip(y_val.astype(jnp.int32), 0, logits.shape[1] - 1)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+            cat_loss = cat_loss + jnp.sum(jnp.where(sel, ce, 0.0))
+            hit = (jnp.argmax(logits, axis=-1) == tgt)
+            acc = acc + jnp.sum(jnp.where(sel, hit, False))
+            t_c = t_c + sel.sum()
+
+        t_cf = jnp.maximum(t_c, 1).astype(jnp.float32)
+        t_nf = jnp.maximum(t_n, 1).astype(jnp.float32)
+        cat_term = cat_loss / t_cf
+        num_term = jnp.sqrt(num_loss / t_nf)
+        total = (jnp.where(t_c > 0, cat_term, 0.0)
+                 + jnp.where(t_n > 0, num_term, 0.0))
+        return total, (cat_loss, t_c, acc), (num_loss, t_n)
+
+    def mv_loss(self, mv_out, y, valid_mask=None):
+        """CE against the masked-column index (VIME mask-vector pretext,
+        ``loss.py:74-78``)."""
+        return cross_entropy(mv_out, y[:, 1].astype(jnp.int32),
+                             mask=valid_mask)

@@ -4,10 +4,25 @@ Multi-chip sharding tests run against ``--xla_force_host_platform_device_count=8
 per the TPU-emulation strategy (SURVEY.md §4).
 """
 import os
+import sys
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel);
 # tests must run on the virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon TPU-tunnel plugin (loaded from a .pth hook at interpreter
+# startup) imports jax BEFORE conftest runs, capturing JAX_PLATFORMS=axon
+# and routing all XLA compilation — including CPU — through a remote relay
+# (~10× slower eager dispatch). Env vars are too late; update the live jax
+# config before any backend initializes.
+sys.path = [p for p in sys.path if "axon_site" not in p]
+for var in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+            "AXON_LOOPBACK_RELAY"):
+    os.environ.pop(var, None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -64,7 +64,8 @@ def test_stypewise_dispatcher_shape_and_jit():
     # jit end-to-end over the TensorFrame pytree
     fn = jax.jit(lambda p, t: enc.apply(p, t)[0])
     out2 = fn(params, tf)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_dispatcher_grads_flow():
