@@ -1,0 +1,65 @@
+"""Supervised / MCM CLI trainer — the ``main.py`` entry point of the
+reference, rebuilt on the unified trainer.
+
+Usage (flag surface mirrors ``utils.py:32-61``):
+    python -m rmm_tpu.cli.main --data <csv-or-dir> --model tabgnn \
+        --task edge_classification --epochs 20 --testing
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..datasets import build_dataset
+from ..utils.checkpoint import load_components, parse_checkpoint_path
+from ..utils.config import config_from_args, create_parser
+from ..utils.logging import RunLogger, logger_setup
+from ..train.trainer import Trainer
+
+
+def main(argv=None):
+    parser = create_parser()
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    logger_setup()
+    logging.info(cfg.to_json())
+
+    start_epoch, run_id, best_m = 0, None, None
+    if cfg.checkpoint and cfg.load_model:
+        run_id, start_epoch = parse_checkpoint_path(cfg.load_model)
+        start_epoch += 1
+        try:
+            from ..utils.checkpoint import load_best_m
+            best_m = load_best_m(cfg.load_model)
+        except OSError:
+            best_m = None
+        logging.info(f"Resuming run {run_id} from epoch {start_epoch}")
+
+    dataset = build_dataset(cfg)
+
+    trainer = Trainer(cfg, dataset, freeze_tabular=cfg.freeze)
+    if cfg.load_model:
+        components = None if cfg.checkpoint else ["node_encoder",
+                                                  "edge_encoder"]
+        logging.info(f"Loading {components or 'all'} from {cfg.load_model}")
+        trainer.variables = load_components(cfg.load_model,
+                                            trainer.variables, components)
+
+    n_params = sum(int(np.prod(np.shape(p)))
+                   for p in __import__("jax").tree_util.tree_leaves(
+                       trainer.variables["params"]))
+    logging.info(f"Number of trainable parameters: {n_params}")
+
+    run_dir = os.path.join(cfg.wandb_dir, run_id) if run_id else os.path.join(
+        cfg.wandb_dir, f"run_{os.getpid()}")
+    rl = RunLogger(run_dir, config=__import__("json").loads(cfg.to_json()),
+                   use_wandb=not cfg.testing, run_id=run_id, group=cfg.group)
+    history, best = trainer.fit(rl, run_dir, start_epoch, best_m)
+    rl.close()
+    return history, best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,289 @@
+"""Unified trainer: one fully-jitted train/eval step per task.
+
+Replaces the reference's seven copy-pasted training loops (SURVEY §1 L5)
+with one engine. The hot path is a single compiled XLA program per
+(task, model): feature gather → encode → backbone → head → loss → grads →
+optimizer update, all on device; the host only runs the C++ sampler and
+ships id/mask arrays (contrast ``main.py:41-75``, which moves features per
+batch and computes the MCM loss on CPU, ``fused.py:289-290``).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..frame.loader import DataLoader
+from ..frame.stype import Stype
+from ..nn.encoders import make_stypewise_encoder
+from ..utils.batch import GraphBatch
+from ..utils.config import Config
+from ..utils.loss import SSLoss, cross_entropy
+from ..utils.metric import f1_score
+from . import task_models
+
+logger = logging.getLogger(__name__)
+
+
+def build_task_model(cfg: Config, dataset):
+    """Model wrapper factory (reference dispatch at ``main.py:316-333``)."""
+    edges, nodes = dataset.edges, dataset.nodes
+    node_encoder = make_stypewise_encoder(nodes, cfg.n_hidden)
+    edge_encoder = make_stypewise_encoder(edges, cfg.n_hidden)
+    avg_log_deg = task_models._deghist_to_avg_log(
+        dataset.in_degree_histogram())
+    num_edge_cols = edges.tensor_frame.num_cols
+    mcm_nn = len(edges.masked_numerical_columns)
+    mcm_cat = tuple(edges.masked_categorical_cardinalities()
+                    if hasattr(edges, "masked_categorical_cardinalities")
+                    else ())
+    common = dict(node_encoder=node_encoder, edge_encoder=edge_encoder,
+                  n_classes=cfg.n_classes, dropout=cfg.dropout, ego=cfg.ego,
+                  task=cfg.task)
+    if cfg.model == "fttransformer":
+        return task_models.TT(channels=cfg.n_hidden,
+                              num_layers=cfg.n_gnn_layers, **common)
+    if cfg.model in ("gin", "pna", "cpna", "cpnatab"):
+        return task_models.GNNWrap(
+            model_name=cfg.model, n_hidden=cfg.n_hidden,
+            n_gnn_layers=cfg.n_gnn_layers, num_edge_cols=num_edge_cols,
+            avg_log_deg=avg_log_deg, reverse_mp=cfg.reverse_mp,
+            emlps=cfg.emlps, mcm_num_numerical=mcm_nn,
+            mcm_categorical=mcm_cat, **common)
+    if cfg.model in ("tabgnn", "tabgnninterleaved"):
+        return task_models.TABGNNS(
+            model_name=cfg.model, channels=cfg.n_hidden,
+            n_gnn_layers=cfg.n_gnn_layers, avg_log_deg=avg_log_deg,
+            reverse_mp=cfg.reverse_mp, mcm_num_numerical=mcm_nn,
+            mcm_categorical=mcm_cat, **common)
+    if cfg.model == "tabgnnfused":
+        return task_models.TABGNNFusedS(
+            channels=cfg.n_hidden, n_gnn_layers=cfg.n_gnn_layers,
+            avg_log_deg=avg_log_deg, reverse_mp=cfg.reverse_mp,
+            mcm_num_numerical=mcm_nn, mcm_categorical=mcm_cat, **common)
+    raise ValueError(f"Invalid model name: {cfg.model}")
+
+
+class Trainer:
+    """Supervised / MCM trainer over graph datasets (the ``main.py`` path)."""
+
+    def __init__(self, cfg: Config, dataset, freeze_tabular: bool = False):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.model = build_task_model(cfg, dataset)
+        self.ssloss = SSLoss(len(dataset.edges.masked_numerical_columns))
+
+        # device-resident tables (features gathered in-jit)
+        self.edge_table = jax.device_put(
+            task_models.gather_rows(
+                dataset.edges.tensor_frame,
+                np.arange(dataset.edges.tensor_frame.num_rows)))
+        self.node_table = jax.device_put(
+            task_models.gather_rows(
+                dataset.nodes.tensor_frame,
+                np.arange(dataset.nodes.tensor_frame.num_rows)))
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_key = jax.random.split(key)
+        dummy = self._dummy_batch()
+        self.variables = self.model.init(
+            {"params": init_key, "dropout": init_key},
+            self.edge_table, self.node_table, dummy, False)
+
+        tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
+        if freeze_tabular:
+            # freeze the tabular backbone layers (reference --freeze,
+            # main.py:347-350)
+            def labels(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "frozen" if any(
+                        "tab_layer" in str(getattr(k, "key", ""))
+                        for k in path) else "train",
+                    params)
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels)
+        self.tx = tx
+        self.opt_state = tx.init(self.variables["params"])
+        self._train_step = jax.jit(self._step, static_argnames=("train",))
+        self._eval_step = jax.jit(self._forward_eval)
+
+    # ------------------------------------------------------------------
+    def _dummy_batch(self) -> GraphBatch:
+        cfg = self.cfg
+        b = cfg.batch_size
+        y_width = (self.dataset.edges.tensor_frame.y.shape[1]
+                   if self.dataset.edges.tensor_frame.y is not None else 1)
+        return GraphBatch(
+            edge_gather=np.zeros(cfg.edge_capacity, np.int32),
+            edge_mask=np.zeros(cfg.edge_capacity, bool),
+            edge_index=np.zeros((2, cfg.edge_capacity), np.int32),
+            node_gather=np.zeros(cfg.node_capacity, np.int32),
+            node_mask=np.zeros(cfg.node_capacity, bool),
+            seed_mask=np.zeros(b, bool),
+            y=np.zeros((b, y_width), np.float32),
+        )
+
+    def _loss_from_pred(self, pred, batch: GraphBatch):
+        cfg = self.cfg
+        if "mcm" in cfg.task:
+            num_out, cat_out = pred
+            total, (cl, tc, acc), (nl, tn) = self.ssloss.mcm_loss(
+                cat_out, num_out, batch.y, valid_mask=batch.seed_mask)
+            aux = {"loss_c": cl, "t_c": tc, "acc": acc, "loss_n": nl,
+                   "t_n": tn}
+            return total, aux
+        labels = batch.y[:, 0].astype(jnp.int32)
+        loss = cross_entropy(pred, labels,
+                             jnp.asarray(cfg.loss_weights), batch.seed_mask)
+        aux = {"pred_cls": jnp.argmax(pred, axis=-1), "labels": labels}
+        return loss, aux
+
+    def _step(self, variables, opt_state, batch: GraphBatch, rng,
+              edge_table, node_table, train: bool = True):
+        def loss_fn(params):
+            out, mutated = self.model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                edge_table, node_table, batch, True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss, aux = self._loss_from_pred(out, batch)
+            return loss, (aux, mutated)
+
+        (loss, (aux, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        updates, opt_state = self.tx.update(grads, opt_state,
+                                            variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        new_vars = {"params": params, **mutated}
+        return new_vars, opt_state, loss, aux
+
+    def _forward_eval(self, variables, batch: GraphBatch, edge_table,
+                      node_table):
+        out = self.model.apply(variables, edge_table, node_table, batch,
+                               False)
+        loss, aux = self._loss_from_pred(out, batch)
+        return loss, aux
+
+    # ------------------------------------------------------------------
+    def _batches(self, view, mode: str):
+        """Yield GraphBatches for a split view (edge-seeded tasks)."""
+        cfg = self.cfg
+        loader = DataLoader(view.tensor_frame, cfg.batch_size,
+                            shuffle=(mode == "train"), seed=cfg.seed)
+        for tf, valid in loader:
+            if "node" in cfg.task:
+                y = np.asarray(tf.y)
+                ids = y[:, 1].astype(np.int64)
+                gb = self.dataset.get_node_inputs(ids, y[:, :1], valid, mode)
+            elif "mcm" in cfg.task:
+                gb = self.dataset.get_mcm_inputs(np.asarray(tf.y), valid,
+                                                 mode)
+            else:
+                gb = self.dataset.get_graph_inputs(np.asarray(tf.y), valid,
+                                                   mode)
+            yield gb
+
+    def train_epoch(self, view, epoch: int) -> dict:
+        cfg = self.cfg
+        t0 = time.time()
+        total_loss = 0.0
+        n_batches = 0
+        preds, labels = [], []
+        mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        for gb in self._batches(view, "train"):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.variables, self.opt_state, loss, aux = self._train_step(
+                self.variables, self.opt_state, gb, step_rng,
+                self.edge_table, self.node_table, train=True)
+            total_loss += float(loss)
+            n_batches += 1
+            if "mcm" in cfg.task:
+                for k in mcm:
+                    mcm[k] += float(aux[k])
+            else:
+                m = np.asarray(gb.seed_mask)
+                preds.append(np.asarray(aux["pred_cls"])[m])
+                labels.append(np.asarray(aux["labels"])[m])
+        out = {"loss": total_loss / max(n_batches, 1),
+               "sec": time.time() - t0}
+        if "mcm" in cfg.task:
+            out["train_rmse"] = float(
+                np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1)))
+            out["train_acc"] = mcm["acc"] / max(mcm["t_c"], 1)
+        else:
+            avg = "binary" if cfg.n_classes == 2 else "weighted"
+            out["f1"] = f1_score(np.concatenate(labels),
+                                 np.concatenate(preds), avg)
+        return out
+
+    def evaluate(self, view, mode: str) -> Any:
+        cfg = self.cfg
+        preds, labels = [], []
+        mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        for gb in self._batches(view, mode):
+            _, aux = self._eval_step(self.variables, gb, self.edge_table,
+                                     self.node_table)
+            if "mcm" in cfg.task:
+                for k in mcm:
+                    mcm[k] += float(aux[k])
+            else:
+                m = np.asarray(gb.seed_mask)
+                preds.append(np.asarray(aux["pred_cls"])[m])
+                labels.append(np.asarray(aux["labels"])[m])
+        if "mcm" in cfg.task:
+            return [float(np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1))),
+                    mcm["acc"] / max(mcm["t_c"], 1)]
+        avg = "binary" if cfg.n_classes == 2 else "weighted"
+        return f1_score(np.concatenate(labels), np.concatenate(preds), avg)
+
+    # ------------------------------------------------------------------
+    def fit(self, run_logger=None, run_dir: Optional[str] = None,
+            start_epoch: int = 0, best_m=None):
+        """Epoch loop with best-model tracking + per-epoch checkpointing
+        (reference ``main.py:359-405``)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        cfg = self.cfg
+        if "node" in cfg.task:
+            tr, va, te = self.dataset.nodes.split()
+        else:
+            tr, va, te = self.dataset.edges.split()
+        mcm_task = "mcm" in cfg.task
+        if best_m is None:
+            best_m = [1000.0, -1.0] if mcm_task else -1.0
+        history = []
+        for epoch in range(start_epoch, start_epoch + cfg.epochs):
+            tm = self.train_epoch(tr, epoch)
+            val_m = self.evaluate(va, "val")
+            te_m = self.evaluate(te, "test")
+            rec = {"epoch": epoch, **tm}
+            improved = False
+            if mcm_task:
+                rec.update({"val_rmse": val_m[0], "val_acc": val_m[1],
+                            "test_rmse": te_m[0], "test_acc": te_m[1]})
+                if (val_m[0] < best_m[0]) and (val_m[1] > best_m[1]
+                                               or best_m[1] == 1):
+                    best_m, improved = val_m, True
+            else:
+                rec.update({"val_f1": val_m, "test_f1": te_m})
+                if val_m > best_m:
+                    best_m, improved = val_m, True
+            rec["best"] = improved
+            logger.info(" ".join(f"{k}={v:.4f}" if isinstance(v, float)
+                                 else f"{k}={v}" for k, v in rec.items()))
+            if run_logger is not None:
+                run_logger.log(rec, step=epoch)
+            if run_dir is not None:
+                save_checkpoint(run_dir, epoch, self.variables,
+                                self.opt_state, best_m)
+                if improved and cfg.save_model:
+                    save_checkpoint(run_dir, -1, self.variables, None,
+                                    best_m, prune_previous=False)
+            history.append(rec)
+        return history, best_m

@@ -1,0 +1,125 @@
+"""Batch assembly: sampled subgraphs → static-shape device batches.
+
+Rebuilds ``src/utils/batch_processing.py`` (``graph_inputs:58``,
+``node_inputs:31``, ``mcm_inputs:80``, ``lp_inputs:105``) TPU-first: the
+host emits only small integer id/mask arrays; edge/node FEATURES stay in a
+device-resident TensorFrame and are gathered by id INSIDE the jitted step
+(one XLA gather), replacing the reference's per-batch host feature
+indexing + ``.to(device)`` churn (``main.py:49``, BASELINE north star).
+
+Every array here has a fixed capacity so the train step compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..graph.negative import generate_negative_samples
+from ..graph.sampler import SampledSubgraph
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GraphBatch:
+    """Device-ready ids/masks for one k-hop minibatch.
+
+    Feature gathers happen in-jit:  edge_attr = edge_table[edge_gather].
+    Seed edges occupy lanes [0, num_seeds); ``seed_mask`` marks which seed
+    lanes are real rows (the final batch of an epoch is padded).
+    """
+
+    edge_gather: np.ndarray        # [E_cap] int32 row ids into edge table
+    edge_mask: np.ndarray          # [E_cap] bool
+    edge_index: np.ndarray         # [2, E_cap] int32 local node ids
+    node_gather: np.ndarray        # [N_cap] int32 row ids into node table
+    node_mask: np.ndarray          # [N_cap] bool
+    seed_mask: np.ndarray          # [B] bool
+    y: Optional[np.ndarray]        # [B, T] packed target
+    neg_edge_index: Optional[np.ndarray] = None  # [2, B*num_neg] local ids
+
+    def tree_flatten(self):
+        children = (self.edge_gather, self.edge_mask, self.edge_index,
+                    self.node_gather, self.node_mask, self.seed_mask, self.y,
+                    self.neg_edge_index)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_seeds(self) -> int:
+        return int(self.seed_mask.shape[0])
+
+
+def _pack_sub(sub: SampledSubgraph, valid_seeds: int, y) -> GraphBatch:
+    b = sub.num_seeds
+    seed_mask = np.zeros(b, dtype=bool)
+    seed_mask[:valid_seeds] = True
+    return GraphBatch(
+        edge_gather=np.maximum(sub.edge_ids, 0).astype(np.int32),
+        edge_mask=sub.edge_mask.copy(),
+        edge_index=sub.edge_index.astype(np.int32),
+        node_gather=np.maximum(sub.node_ids, 0).astype(np.int32),
+        node_mask=sub.node_mask.copy(),
+        seed_mask=seed_mask,
+        y=None if y is None else np.asarray(y),
+    )
+
+
+def graph_inputs(batch_y: np.ndarray, valid: int, store, mode: str,
+                 edge_capacity: int, node_capacity: int,
+                 rng_seed=None) -> GraphBatch:
+    """Edge-seeded classification batch (``batch_processing.py:58-78``):
+    seeds come from the packed target's last 3 slots [src, dst, edge_id]
+    (``util/mask.py:43-47``); y = leading slots."""
+    edges = batch_y[:, -3:].astype(np.int64)
+    y = batch_y[:, :-3]
+    sub = store.sample_edges(edges, mode, edge_capacity, node_capacity,
+                             rng_seed)
+    return _pack_sub(sub, valid, y)
+
+
+def node_inputs(node_ids: np.ndarray, y: np.ndarray, valid: int, store,
+                mode: str, edge_capacity: int, node_capacity: int,
+                rng_seed=None) -> GraphBatch:
+    """Node-seeded classification batch (``batch_processing.py:31-56``).
+    Seed nodes occupy node lanes [0, B)."""
+    sub = store.sample_nodes(node_ids, mode, edge_capacity, node_capacity,
+                             rng_seed)
+    return _pack_sub(sub, valid, y)
+
+
+def mcm_inputs(batch_y: np.ndarray, valid: int, store, mode: str,
+               edge_capacity: int, node_capacity: int,
+               rng_seed=None) -> GraphBatch:
+    """Masked-cell batch (``batch_processing.py:80-103``): like
+    graph_inputs, but y = [masked_value, masked_col_idx] and the target
+    edges are the seed block [0, B)."""
+    return graph_inputs(batch_y, valid, store, mode, edge_capacity,
+                        node_capacity, rng_seed)
+
+
+def lp_inputs(batch_y: np.ndarray, valid: int, store, mode: str,
+              edge_capacity: int, node_capacity: int, num_neg_samples: int,
+              rng_seed=None, neg_seed: int = 0) -> GraphBatch:
+    """Link-prediction batch (``batch_processing.py:105-149``): sample the
+    k-hop subgraph, then draw ``num_neg_samples`` corrupted edges per seed
+    via the native negative sampler over the LOCAL subgraph. The positive
+    block is lanes [0, B); negatives ride ``neg_edge_index`` and reuse the
+    positive rows' attributes (the reference's ×num_neg attr repeat,
+    ``batch_processing.py:133-143``, becomes an in-jit gather)."""
+    gb = graph_inputs(batch_y, valid, store, mode, edge_capacity,
+                      node_capacity, rng_seed)
+    b = gb.num_seeds
+    n_edges = int(gb.edge_mask.sum())
+    local_ei = gb.edge_index[:, :n_edges]
+    pos_ei = gb.edge_index[:, :b]
+    n_nodes = int(gb.node_mask.sum())
+    neg = generate_negative_samples(local_ei, pos_ei, num_neg_samples,
+                                    num_nodes=n_nodes, seed=neg_seed)
+    gb.neg_edge_index = neg.astype(np.int32)
+    return gb

@@ -1,0 +1,96 @@
+"""Checkpoint / resume.
+
+Rebuilds the reference's two schemes (SURVEY §5 checkpoint/resume) as one:
+a per-epoch directory ``<run_dir>/<epoch>/`` holding the component pytrees
+(``node_encoder``, ``edge_encoder``, ``model``, ``decoder`` — the reference's
+state_dict split at ``main.py:397-405``) plus ``best_m.json``; the previous
+epoch directory is pruned. Encoder-only transfer for two-stage SSL →
+supervised (``main.py:271-276``) is ``load_components`` with a subset —
+missing subtrees keep their fresh init (the ``strict=False`` analogue).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+COMPONENTS = ("node_encoder", "edge_encoder", "model", "decoder")
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(tree)))
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_checkpoint(run_dir: str, epoch: int, variables: dict,
+                    opt_state: Any = None, best_m: Any = None,
+                    prune_previous: bool = True) -> str:
+    """variables: {"params": ..., "batch_stats": ...} from the task wrapper.
+
+    Components are split by top-level module name so encoders/backbone/head
+    can be reloaded independently.
+    """
+    ck = os.path.join(run_dir, str(epoch))
+    os.makedirs(ck, exist_ok=True)
+    params = variables["params"]
+    for comp in params:
+        save_pytree(os.path.join(ck, comp), params[comp])
+    extras = {k: v for k, v in variables.items() if k != "params"}
+    if extras:
+        save_pytree(os.path.join(ck, "extras"), extras)
+    if opt_state is not None:
+        save_pytree(os.path.join(ck, "opt_state"), opt_state)
+    if best_m is not None:
+        with open(os.path.join(ck, "best_m.json"), "w") as f:
+            json.dump({"best_m": np.asarray(best_m).tolist()
+                       if not isinstance(best_m, (int, float, list))
+                       else best_m}, f)
+    if prune_previous and epoch > 0:
+        shutil.rmtree(os.path.join(run_dir, str(epoch - 1)),
+                      ignore_errors=True)
+    return ck
+
+
+def load_components(ck_dir: str, variables: dict,
+                    components: Optional[list] = None) -> dict:
+    """Load a subset of component pytrees into fresh variables
+    (missing/extra components are left at their initialization —
+    ``strict=False`` semantics)."""
+    params = dict(variables["params"])
+    for comp in components or list(params.keys()):
+        path = os.path.join(ck_dir, comp)
+        if comp in params and os.path.exists(path):
+            params[comp] = load_pytree(path, params[comp])
+    out = dict(variables)
+    out["params"] = params
+    extras_path = os.path.join(ck_dir, "extras")
+    if os.path.exists(extras_path):
+        extras = load_pytree(
+            extras_path, {k: v for k, v in variables.items()
+                          if k != "params"})
+        out.update(extras)
+    return out
+
+
+def load_best_m(ck_dir: str):
+    with open(os.path.join(ck_dir, "best_m.json")) as f:
+        return json.load(f)["best_m"]
+
+
+def parse_checkpoint_path(path: str) -> tuple[str, int]:
+    """``<run_dir>/<epoch>/`` → (run_id, epoch) (reference resume parses
+    epoch + run id out of the load path, ``main.py:195-199``)."""
+    parts = [p for p in path.rstrip("/").split(os.sep) if p]
+    epoch = int(parts[-1])
+    run_id = parts[-2] if len(parts) > 1 else ""
+    return run_id, epoch

@@ -1,0 +1,138 @@
+"""Unified typed configuration.
+
+The reference mixes three flag systems — argparse (``utils.py:32-61``),
+``fire`` keyword CLIs (``fused.py:626-655``) and wandb sweep dicts — plus
+hardcoded post-parse overrides (``main.py:161-190,229-233``). This single
+dataclass covers that whole surface; every documented flag keeps its name.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class Config:
+    # model
+    model: str = "fttransformer"      # gin|pna|cpna|cpnatab|tabgnn|
+    #                                   tabgnninterleaved|tabgnnfused|
+    #                                   fttransformer
+    n_hidden: int = 32
+    n_gnn_layers: int = 2
+    emlps: bool = False
+    reverse_mp: bool = False
+    ego: bool = False
+    ports: bool = False
+    dropout: float = 0.083            # main.py:184 (AML config of record)
+    nhead: int = 8
+
+    # task / data
+    data: str = ""
+    task: str = "edge_classification"
+    n_classes: int = 2
+    pretrain: Sequence[str] = ()      # subset of {mask, mv, lp}
+    split_type: str = "temporal_daily"
+    splits: Sequence[float] = (0.6, 0.2, 0.2)
+    num_neighs: Sequence[int] = (100, 100)
+    edge_capacity: int = 4096
+    node_capacity: int = 4096
+
+    # optimization (AML supervised config of record, main.py:161-190)
+    lr: float = 0.0006116418195373612
+    epochs: int = 100
+    batch_size: int = 200
+    w_ce1: float = 1.0
+    w_ce2: float = 9.23
+    # SSL config of record (fused.py:626-630)
+    weight_decay: float = 1e-3
+    adam_eps: float = 1e-8
+    num_neg_samples: int = 64
+    moo: str = "sum"                  # sum | moco
+
+    # misc
+    seed: int = 1
+    testing: bool = False
+    tqdm: bool = False
+    save_model: bool = False
+    load_model: Optional[str] = None
+    checkpoint: bool = False
+    freeze: bool = False
+    output_path: str = "outputs/"
+    wandb_dir: str = "wandb/"
+    group: str = "null"
+    log_every: int = 50
+
+    @property
+    def loss_weights(self) -> list[float]:
+        if self.n_classes == 2:
+            return [self.w_ce1, self.w_ce2]
+        return [1.0] * self.n_classes
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=str)
+
+
+def create_parser() -> argparse.ArgumentParser:
+    """CLI surface mirroring the reference parser (``utils.py:32-61``)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--emlps", action="store_true")
+    p.add_argument("--reverse_mp", action="store_true")
+    p.add_argument("--ego", action="store_true")
+    p.add_argument("--ports", action="store_true")
+    p.add_argument("--batch_size", default=200, type=int)
+    p.add_argument("--epochs", default=100, type=int)
+    p.add_argument("--num_neighs", nargs="+", type=int, default=[100, 100])
+    p.add_argument("--n_hidden", default=32, type=int)
+    p.add_argument("--n_gnn_layers", default=2, type=int)
+    p.add_argument("--model", default=None, type=str, required=True)
+    p.add_argument("--freeze", action="store_true")
+    p.add_argument("--seed", default=1, type=int)
+    p.add_argument("--tqdm", action="store_true")
+    p.add_argument("--data", default=None, type=str, required=True)
+    p.add_argument("--output_path", default="outputs/", type=str)
+    p.add_argument("--testing", action="store_true")
+    p.add_argument("--save_model", action="store_true")
+    p.add_argument("--load_model", default=None, type=str)
+    p.add_argument("--checkpoint", action="store_true")
+    p.add_argument("--wandb_dir", default="wandb/", type=str)
+    p.add_argument("--group", default="null", type=str)
+    p.add_argument("--task", default="edge_classification", type=str)
+    p.add_argument("--edge_capacity", default=4096, type=int)
+    p.add_argument("--node_capacity", default=4096, type=int)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--dropout", default=None, type=float)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = Config(
+        model=args.model, data=args.data, task=args.task,
+        batch_size=args.batch_size, epochs=args.epochs,
+        num_neighs=tuple(args.num_neighs), n_hidden=args.n_hidden,
+        n_gnn_layers=args.n_gnn_layers, emlps=args.emlps,
+        reverse_mp=args.reverse_mp, ego=args.ego, ports=args.ports,
+        seed=args.seed, tqdm=args.tqdm, testing=args.testing,
+        save_model=args.save_model, load_model=args.load_model,
+        checkpoint=args.checkpoint, freeze=args.freeze,
+        output_path=args.output_path, wandb_dir=args.wandb_dir,
+        group=args.group, edge_capacity=args.edge_capacity,
+        node_capacity=args.node_capacity,
+    )
+    if args.lr is not None:
+        cfg = cfg.replace(lr=args.lr)
+    if args.dropout is not None:
+        cfg = cfg.replace(dropout=args.dropout)
+    # dataset-specific hardcoded overrides of record (main.py:218-265)
+    if "ethereum-phishing" in cfg.data:
+        cfg = cfg.replace(lr=0.0008, dropout=0.123, w_ce2=1.16,
+                          n_gnn_layers=2)
+    elif "elliptic" in cfg.data:
+        cfg = cfg.replace(task="node_classification")
+    elif "ogbn_arxiv" in cfg.data or "ogbn-arxiv" in cfg.data:
+        cfg = cfg.replace(task="node_classification", n_classes=40)
+    return cfg
