@@ -1,0 +1,8 @@
+"""Mesh data parallelism + host→device prefetch."""
+from .mesh import data_sharded, make_mesh, replicated  # noqa: F401
+from .data_parallel import (  # noqa: F401
+    make_dp_train_step,
+    shard_batch,
+    stack_batches,
+)
+from .prefetch import Prefetcher  # noqa: F401

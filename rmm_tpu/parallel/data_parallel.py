@@ -1,0 +1,90 @@
+"""Data-parallel training over a device mesh.
+
+Each chip trains on its own k-hop subgraph minibatch (the batch axis of
+relational minibatches is "independent subgraphs", not "rows" — SURVEY §5
+long-context note); parameters and the feature tables are replicated,
+gradients and batch-norm statistics are ``pmean``-reduced over the ``data``
+axis so the collectives ride ICI. Implemented with ``shard_map`` so the
+per-chip body is written single-device and XLA inserts the collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..utils.batch import GraphBatch
+
+
+def stack_batches(batches: list[GraphBatch]) -> GraphBatch:
+    """Stack per-chip GraphBatches along a leading device axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0)
+        if xs[0] is not None else None, *batches)
+
+
+def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
+                       axis: str = "data"):
+    """Build the jitted SPMD train step.
+
+    Signature: (variables, opt_state, stacked_batch, rngs[D]) →
+    (variables, opt_state, loss, aux) with replicated outputs.
+    """
+
+    def per_chip(variables, opt_state, batch, rng, edge_table, node_table):
+        # strip the leading per-chip axis added by shard_map
+        batch = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, batch)
+        rng = rng[0]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                edge_table, node_table, batch, True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss, aux = loss_from_pred(out, batch)
+            return loss, (aux, mutated)
+
+        (loss, (aux, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        # gradient + loss + batch-stat reduction over ICI
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        mutated = jax.lax.pmean(mutated, axis)
+        # aux stays per-chip: out_specs concatenates along the data axis
+        aux = jax.tree_util.tree_map(
+            lambda x: x[None] if x.ndim == 0 else x, aux)
+        updates, opt_state = tx.update(grads, opt_state,
+                                       variables["params"])
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, variables["params"], updates)
+        new_vars = {"params": params, **mutated}
+        return new_vars, opt_state, loss, aux
+
+    specs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P(axis)),
+    )
+    try:  # jax >= 0.8: check_vma; older: check_rep
+        sharded = shard_map(per_chip, check_vma=False, **specs)
+    except TypeError:
+        sharded = shard_map(per_chip, check_rep=False, **specs)
+    return jax.jit(sharded)
+
+
+def shard_batch(mesh: Mesh, stacked: GraphBatch, axis: str = "data"):
+    """Place a stacked batch so each chip holds its own slice."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if x is not None else None,
+        stacked)
