@@ -1,0 +1,364 @@
+"""Joint self-supervised pretrainer: MCM + LP on TABGNNFused.
+
+Rebuilds ``fused.py`` (modes ``mcm`` / ``lp`` / ``mcm-lp``, optional MoCo
+multi-objective weighting, AdamW with no-decay groups, best-model tracking
+on acc/rmse/mrr) as ONE jitted train step per mode. Key structural change:
+the reference runs two full forward passes per batch with host round-trips
+and a CPU-side MCM loss (``fused.py:277-302``); here both views (LP over
+neighbor edges, MCM over all edges), both losses and the optimizer update
+compile into a single XLA program (SURVEY §7 hard part 6).
+
+Node features are the reference's ones-vector (+ego indicator) —
+``lp_inputs`` builds ``torch.ones(num_nodes,1)`` (``batch_processing.py:113``).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..frame.loader import DataLoader
+from ..nn.decoders import LinkPredHead, MCMHead
+from ..nn.encoders import make_stypewise_encoder
+from ..nn.models import TABGNNFused
+from ..nn.weighting import init_moco, moco_combine
+from ..utils.batch import GraphBatch
+from ..utils.config import Config
+from ..utils.loss import SSLoss
+from ..utils.metric import MCMAccumulator, SSMetric
+from .task_models import gather_rows
+
+logger = logging.getLogger(__name__)
+
+
+def adamw_no_decay_groups(lr: float, weight_decay: float, eps: float):
+    """AdamW skipping decay on biases/norm scales (reference no-decay
+    groups, ``fused.py:591-624``): decay only parameters with ndim ≥ 2."""
+    def mask(params):
+        return jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
+    return optax.adamw(lr, eps=eps, weight_decay=weight_decay, mask=mask)
+
+
+class PretrainModel:
+    """encoder + TABGNNFused + MCM/LP heads bound into pure functions."""
+
+    def __init__(self, cfg: Config, dataset):
+        self.cfg = cfg
+        self.dataset = dataset
+        edges = dataset.edges
+        self.encoder = make_stypewise_encoder(edges, cfg.n_hidden)
+        self.num_cols = edges.tensor_frame.num_cols
+        self.node_dim = 2 if cfg.ego else 1
+        avg_log_deg = _avg_log_deg(dataset.in_degree_histogram())
+        self.model = TABGNNFused(
+            channels=cfg.n_hidden, num_layers=cfg.n_gnn_layers,
+            node_dim=self.node_dim, nhidden=cfg.n_hidden,
+            avg_log_deg=avg_log_deg, reverse_mp=cfg.reverse_mp,
+            dropout=cfg.dropout)
+        self.mcm_head = MCMHead(
+            cfg.n_hidden, len(edges.masked_numerical_columns),
+            tuple(edges.masked_categorical_cardinalities()), w=3)
+        self.lp_head = LinkPredHead(n_hidden=cfg.n_hidden,
+                                    dropout=cfg.dropout)
+        self.ssloss = SSLoss(len(edges.masked_numerical_columns))
+
+    # -- pieces ------------------------------------------------------------
+    def node_feats(self, batch: GraphBatch):
+        n = batch.node_gather.shape[0]
+        ones = jnp.ones((n, 1), jnp.float32)
+        if self.cfg.ego:
+            b = batch.num_seeds
+            ego = jnp.zeros((n,), jnp.float32).at[
+                batch.edge_index[:, :b].reshape(-1)].set(1.0)
+            return jnp.concatenate([ones, ego[:, None]], axis=1)
+        return ones
+
+    def encode(self, params, edge_table, gather_ids):
+        tf = gather_rows(edge_table, gather_ids)
+        tokens, _ = self.encoder.apply(params["encoder"], tf)
+        return tokens
+
+    def target_gather(self, batch: GraphBatch):
+        """[pos seeds | each pos repeated ×num_neg] row ids — the
+        reference's attr-repeat (``batch_processing.py:133-143``)."""
+        b = batch.num_seeds
+        pos = batch.edge_gather[:b]
+        neg = jnp.repeat(pos, self.cfg.num_neg_samples)
+        return jnp.concatenate([pos, neg])
+
+    def apply_fused(self, params, mutable_vars, batch, edge_table, lp: bool,
+                    use_neigh_only: bool, rng, train: bool):
+        """One TABGNNFused application over the batch subgraph."""
+        cfg = self.cfg
+        b = batch.num_seeds
+        nf = self.node_feats(batch)
+        tgt_ids = self.target_gather(batch)
+        target_tok = self.encode(params, edge_table, tgt_ids)
+        target_ei = jnp.concatenate(
+            [batch.edge_index[:, :b], batch.neg_edge_index], axis=1)
+        if use_neigh_only:
+            ei = batch.edge_index[:, b:]
+            emask = batch.edge_mask[b:]
+            tok = self.encode(params, edge_table, batch.edge_gather[b:])
+        else:
+            ei = batch.edge_index
+            emask = batch.edge_mask
+            tok = self.encode(params, edge_table, batch.edge_gather)
+        out, mutated = self.model.apply(
+            {"params": params["model"], "batch_stats": mutable_vars},
+            nf, ei, tok, target_ei, target_tok, lp, emask, batch.node_mask,
+            train, mutable=["batch_stats"],
+            rngs={"dropout": rng} if train else {})
+        x_gnn, edge_attr, target_edge_attr = out
+        return x_gnn, target_edge_attr, target_ei, mutated["batch_stats"]
+
+    def lp_preds(self, params, x_gnn, target_edge_attr, target_ei, batch,
+                 rng, train):
+        b = batch.num_seeds
+        pos_pred, neg_pred = self.lp_head.apply(
+            params["lp_head"], x_gnn, target_ei[:, :b],
+            target_edge_attr[:b], target_ei[:, b:], target_edge_attr[b:],
+            not train, rngs={"dropout": rng} if train else {})
+        return pos_pred, neg_pred
+
+    def mcm_preds(self, params, x_gnn, target_edge_attr, batch):
+        b = batch.num_seeds
+        pos_ei = batch.edge_index[:, :b]
+        x_target = jnp.concatenate(
+            [x_gnn[pos_ei[0]], x_gnn[pos_ei[1]], target_edge_attr[:b]],
+            axis=-1)
+        return self.mcm_head.apply(params["mcm_head"], x_target)
+
+    # -- losses per mode ---------------------------------------------------
+    def mode_losses(self, params, batch_stats, batch, edge_table, rng,
+                    train: bool, mode: str):
+        """Returns ({loss_name: value}, aux, new_batch_stats)."""
+        cfg = self.cfg
+        r1, r2, r3 = jax.random.split(rng, 3)
+        losses, aux = {}, {}
+        new_stats = batch_stats
+        if "lp" in mode:
+            x_gnn, tea_lp, tei, new_stats = self.apply_fused(
+                params, new_stats, batch, edge_table, lp=True,
+                use_neigh_only=True, rng=r1, train=train)
+            pos_pred, neg_pred = self.lp_preds(params, x_gnn, tea_lp, tei,
+                                               batch, r3, train)
+            losses["lp"] = self.ssloss.lp_loss(
+                pos_pred, neg_pred, batch.seed_mask,
+                jnp.repeat(batch.seed_mask, cfg.num_neg_samples))
+            aux["pos_pred"] = pos_pred
+            aux["neg_pred"] = neg_pred
+        if "mcm" in mode:
+            x_gnn, tea_mcm, tei, new_stats = self.apply_fused(
+                params, new_stats, batch, edge_table, lp=False,
+                use_neigh_only=False, rng=r2, train=train)
+            num_out, cat_out = self.mcm_preds(params, x_gnn, tea_mcm, batch)
+            total, (cl, tc, acc), (nl, tn) = self.ssloss.mcm_loss(
+                cat_out, num_out, batch.y, valid_mask=batch.seed_mask)
+            losses["mcm"] = total
+            aux.update({"loss_c": cl, "t_c": tc, "acc": acc, "loss_n": nl,
+                        "t_n": tn, "num_out": num_out,
+                        "cat_out": tuple(cat_out)})
+        return losses, aux, new_stats
+
+
+def _avg_log_deg(hist) -> float:
+    hist = np.asarray(hist, dtype=np.float64)
+    d = np.arange(len(hist))
+    return float((hist * np.log(d + 1)).sum() / max(hist.sum(), 1.0))
+
+
+class PretrainTrainer:
+    """fused.py's trainer: modes mcm / lp / mcm-lp (+ MoCo)."""
+
+    def __init__(self, cfg: Config, dataset, mode: str = "mcm-lp"):
+        assert mode in ("mcm", "lp", "mcm-lp")
+        self.cfg = cfg
+        self.mode = mode
+        self.pm = PretrainModel(cfg, dataset)
+        self.dataset = dataset
+
+        self.edge_table = jax.device_put(gather_rows(
+            dataset.edges.tensor_frame,
+            np.arange(dataset.edges.tensor_frame.num_rows)))
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.rng, k1, k2, k3, k4 = jax.random.split(key, 5)
+        dummy = self._dummy_batch()
+        params = {}
+        tf0 = gather_rows(self.edge_table, dummy.edge_gather[:4])
+        params["encoder"] = self.pm.encoder.init(k1, tf0)
+        b = cfg.batch_size
+        ncols = self.pm.num_cols
+        C = cfg.n_hidden
+        model_vars = self.pm.model.init(
+            k2, jnp.ones((dummy.node_gather.shape[0], self.pm.node_dim)),
+            dummy.edge_index, jnp.zeros((dummy.edge_gather.shape[0],
+                                         ncols, C)),
+            jnp.concatenate([dummy.edge_index[:, :b],
+                             dummy.neg_edge_index], 1),
+            jnp.zeros((b * (1 + cfg.num_neg_samples), ncols, C)))
+        params["model"] = model_vars["params"]
+        self.batch_stats = model_vars.get("batch_stats", {})
+        params["mcm_head"] = self.pm.mcm_head.init(
+            k3, jnp.zeros((b, 3 * C)))
+        params["lp_head"] = self.pm.lp_head.init(
+            k4, jnp.zeros((4, C)), jnp.zeros((2, 3), jnp.int32),
+            jnp.zeros((3, C)), jnp.zeros((2, 3), jnp.int32),
+            jnp.zeros((3, C)))
+        self.params = params
+
+        self.tx = adamw_no_decay_groups(cfg.lr, cfg.weight_decay,
+                                        cfg.adam_eps)
+        self.opt_state = self.tx.init(self.params)
+        self.moco_state = (init_moco(2, self.params)
+                           if cfg.moo == "moco" and mode == "mcm-lp"
+                           else None)
+        self._train_step = jax.jit(self._step)
+        self._eval_step = jax.jit(self._eval)
+
+    # ------------------------------------------------------------------
+    def _dummy_batch(self) -> GraphBatch:
+        cfg = self.cfg
+        b = cfg.batch_size
+        yw = self.dataset.edges.tensor_frame.y.shape[1]
+        return GraphBatch(
+            edge_gather=np.zeros(cfg.edge_capacity, np.int32),
+            edge_mask=np.zeros(cfg.edge_capacity, bool),
+            edge_index=np.zeros((2, cfg.edge_capacity), np.int32),
+            node_gather=np.zeros(cfg.node_capacity, np.int32),
+            node_mask=np.zeros(cfg.node_capacity, bool),
+            seed_mask=np.zeros(b, bool),
+            y=np.zeros((b, yw), np.float32),
+            neg_edge_index=np.zeros((2, b * cfg.num_neg_samples), np.int32),
+        )
+
+    def _step(self, params, batch_stats, opt_state, moco_state, batch, rng):
+        mode = self.mode
+
+        if moco_state is not None:
+            # per-task grads → MoCo combine (reference fused.py:295-302)
+            def task_loss(p, name):
+                losses, aux, stats = self.pm.mode_losses(
+                    p, batch_stats, batch, self.edge_table, rng, True, mode)
+                return losses[name], (aux, stats)
+
+            (l_lp, (aux, stats)), g_lp = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "lp")
+            (l_mcm, _), g_mcm = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "mcm")
+            grads, moco_state, lambd = moco_combine(
+                moco_state, [g_lp, g_mcm], [l_lp, l_mcm], params)
+            loss = l_lp + l_mcm
+        else:
+            def loss_fn(p):
+                losses, aux, stats = self.pm.mode_losses(
+                    p, batch_stats, batch, self.edge_table, rng, True, mode)
+                return sum(losses.values()), (losses, aux, stats)
+
+            (loss, (losses, aux, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        small_aux = {k: v for k, v in aux.items()
+                     if k in ("loss_c", "t_c", "acc", "loss_n", "t_n")}
+        return params, stats, opt_state, moco_state, loss, small_aux
+
+    def _eval(self, params, batch_stats, batch):
+        losses, aux, _ = self.pm.mode_losses(
+            params, batch_stats, batch, self.edge_table,
+            jax.random.PRNGKey(0), False, self.mode)
+        return losses, aux
+
+    # ------------------------------------------------------------------
+    def _batches(self, view, mode_name: str):
+        cfg = self.cfg
+        loader = DataLoader(view.tensor_frame, cfg.batch_size,
+                            shuffle=(mode_name == "train"), seed=cfg.seed)
+        for i, (tf, valid) in enumerate(loader):
+            yield self.dataset.get_lp_inputs(
+                np.asarray(tf.y), valid, mode_name,
+                num_neg_samples=cfg.num_neg_samples, neg_seed=i)
+
+    def train_epoch(self, view, epoch: int) -> dict:
+        t0 = time.time()
+        tot = cnt = 0.0
+        mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        for gb in self._batches(view, "train"):
+            self.rng, k = jax.random.split(self.rng)
+            (self.params, self.batch_stats, self.opt_state, self.moco_state,
+             loss, aux) = self._train_step(
+                self.params, self.batch_stats, self.opt_state,
+                self.moco_state, gb, k)
+            tot += float(loss)
+            cnt += 1
+            for key in mcm:
+                if key in aux:
+                    mcm[key] += float(aux[key])
+        out = {"loss": tot / max(cnt, 1), "sec": time.time() - t0}
+        if "mcm" in self.mode:
+            out["train_loss_c"] = mcm["loss_c"] / max(mcm["t_c"], 1)
+            out["train_loss_n"] = mcm["loss_n"] / max(mcm["t_n"], 1)
+        return out
+
+    def evaluate(self, view, mode_name: str) -> dict:
+        cfg = self.cfg
+        ssm = SSMetric(self.pm.ssloss.num_numerical)
+        acc = MCMAccumulator(self.pm.ssloss.num_numerical)
+        mrrs, h1, h2, h5, h10 = [], [], [], [], []
+        for gb in self._batches(view, mode_name):
+            losses, aux = self._eval_step(self.params, self.batch_stats, gb)
+            valid = int(np.asarray(gb.seed_mask).sum())
+            if "lp" in self.mode:
+                pos = np.asarray(aux["pos_pred"])[:valid]
+                neg = np.asarray(aux["neg_pred"]).reshape(
+                    gb.num_seeds, cfg.num_neg_samples)[:valid]
+                mrr, hits = ssm.mrr(pos, neg, [1, 2, 5, 10],
+                                    cfg.num_neg_samples)
+                mrrs.append(mrr)
+                h1.append(hits["hits@1"])
+                h2.append(hits["hits@2"])
+                h5.append(hits["hits@5"])
+                h10.append(hits["hits@10"])
+            if "mcm" in self.mode:
+                acc.update(aux["cat_out"], aux["num_out"],
+                           np.asarray(gb.y), valid)
+        out = {}
+        if "lp" in self.mode:
+            out.update({"mrr": float(np.mean(mrrs)),
+                        "hits@1": float(np.mean(h1)),
+                        "hits@2": float(np.mean(h2)),
+                        "hits@5": float(np.mean(h5)),
+                        "hits@10": float(np.mean(h10))})
+        if "mcm" in self.mode:
+            out.update({"accuracy": acc.accuracy, "rmse": acc.rmse})
+        return out
+
+    def fit(self, run_logger=None):
+        cfg = self.cfg
+        tr, va, te = self.dataset.edges.split()
+        best = {"accuracy": -1.0, "rmse": float("inf"), "mrr": -1.0}
+        history = []
+        for epoch in range(cfg.epochs):
+            tm = self.train_epoch(tr, epoch)
+            vm = self.evaluate(va, "val")
+            rec = {"epoch": epoch, **tm,
+                   **{f"val_{k}": v for k, v in vm.items()}}
+            # best-model tracking on acc / rmse / mrr (fused.py:737-754)
+            for k in ("accuracy", "mrr"):
+                if k in vm and vm[k] > best[k]:
+                    best[k] = vm[k]
+            if "rmse" in vm and vm["rmse"] < best["rmse"]:
+                best["rmse"] = vm["rmse"]
+            logger.info(" ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items()))
+            if run_logger is not None:
+                run_logger.log(rec, step=epoch)
+            history.append(rec)
+        return history, best
