@@ -38,6 +38,9 @@ def main(argv=None):
         logging.info(f"Resuming run {run_id} from epoch {start_epoch}")
 
     dataset = build_dataset(cfg)
+    if hasattr(dataset, "n_classes"):
+        cfg = cfg.replace(n_classes=dataset.n_classes)
+        logging.info(f"dataset declares n_classes={cfg.n_classes}")
 
     trainer = Trainer(cfg, dataset, freeze_tabular=cfg.freeze)
     if cfg.load_model:

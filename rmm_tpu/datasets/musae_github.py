@@ -1,0 +1,37 @@
+"""MUSAE GitHub dataset (``src/datasets/musae_github.py``): developer
+features + ``ml_target`` binary label, mutual-follower edges."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import pandas as pd
+
+from .node_family import (
+    FeatureNodeTable,
+    NodeClassificationDataset,
+    SimpleEdgeTable,
+)
+
+
+class MusaeGitHub(NodeClassificationDataset):
+    def __init__(self, root: str, pretrain: Optional[set] = None,
+                 split_type: str = "random",
+                 splits: Sequence[float] = (0.6, 0.2, 0.2),
+                 khop_neighbors=(100, 100), ports: bool = False,
+                 ego: bool = False, channels: int = 64,
+                 edge_capacity: int = 4096, node_capacity: int = 4096,
+                 use_native_sampler: bool = True):
+        nodes_df = pd.read_csv(os.path.join(root, "nodes.csv"), header=0)
+        edges_df = pd.read_csv(os.path.join(root, "edges.csv"), header=0)
+        nodes = FeatureNodeTable(
+            nodes_df, label_col="ml_target", id_col="id",
+            exclude=("index", "name"), split_type=split_type, splits=splits,
+            timestamp_col=None, pretrain=pretrain, ego=ego,
+            cache_root=os.path.join(root, "nodes"))
+        edges = SimpleEdgeTable(
+            edges_df, "id_1", "id_2", ports=ports,
+            khop_neighbors=khop_neighbors, num_nodes=len(nodes_df),
+            use_native_sampler=use_native_sampler)
+        super().__init__(edges, nodes, edge_capacity, node_capacity,
+                         n_classes=2)

@@ -49,3 +49,106 @@ def synthetic_aml_frame(num_rows: int = 2000, num_accounts: int = 300,
 def write_synthetic_aml_csv(path: str, **kw) -> str:
     synthetic_aml_frame(**kw).to_csv(path, index=False)
     return path
+
+
+def _planted_edges(rng, n_nodes, n_edges, labels):
+    """Edges with homophily so node labels are learnable from structure."""
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    same = rng.rand(n_edges) < 0.7
+    for i in np.nonzero(same)[0]:
+        cands = np.nonzero(labels == labels[src[i]])[0]
+        dst[i] = cands[rng.randint(len(cands))]
+    return src, dst
+
+
+def write_synthetic_node_dataset(root: str, family: str = "ogbn",
+                                 num_nodes: int = 300, num_edges: int = 900,
+                                 num_feats: int = 8, n_classes: int = 4,
+                                 seed: int = 0) -> str:
+    """nodes.csv/edges.csv fixtures matching each node-classification
+    family's schema (elliptic / ogbn / musae / lastfm / eth)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, n_classes, num_nodes)
+    feats = rng.randn(num_nodes, num_feats) + labels[:, None] * 0.8
+    src, dst = _planted_edges(rng, num_nodes, num_edges, labels)
+
+    if family == "elliptic":
+        nodes = pd.DataFrame(feats, columns=[str(i + 1)
+                                             for i in range(num_feats)])
+        nodes.insert(0, "txId", np.arange(num_nodes) * 7 + 3)  # non-contig
+        cls = np.where(labels % 2 == 0, "1", "2").astype(object)
+        cls[rng.rand(num_nodes) < 0.2] = "unknown"
+        nodes.insert(1, "class", cls)
+        edges = pd.DataFrame({"txId1": nodes["txId"].to_numpy()[src],
+                              "txId2": nodes["txId"].to_numpy()[dst]})
+    elif family == "musae":
+        nodes = pd.DataFrame(feats, columns=[f"f{i}"
+                                             for i in range(num_feats)])
+        nodes["id"] = np.arange(num_nodes)
+        nodes["name"] = [f"dev{i}" for i in range(num_nodes)]
+        nodes["ml_target"] = labels % 2
+        edges = pd.DataFrame({"id_1": src, "id_2": dst})
+    elif family == "lastfm":
+        nodes = pd.DataFrame(feats, columns=[f"f{i}"
+                                             for i in range(num_feats)])
+        nodes["id"] = np.arange(num_nodes)
+        nodes["target"] = labels
+        edges = pd.DataFrame({"node_1": src, "node_2": dst})
+    elif family == "eth":
+        nodes = pd.DataFrame({
+            "node": np.arange(num_nodes),
+            "label": (labels % 2).astype(int),
+            "first_transaction": rng.randint(0, 30 * 86400, num_nodes),
+        })
+        edges = pd.DataFrame({
+            "from_address": src, "to_address": dst,
+            "nonce": rng.randint(0, 100, num_edges).astype(float),
+            "value": rng.lognormal(0, 1, num_edges),
+            "gas": rng.lognormal(1, 0.3, num_edges),
+            "gas_price": rng.lognormal(2, 0.5, num_edges),
+            "block_timestamp": rng.randint(0, 30 * 86400, num_edges),
+        })
+    else:  # ogbn-style
+        nodes = pd.DataFrame(feats, columns=[f"f{i}"
+                                             for i in range(num_feats)])
+        nodes["id"] = np.arange(num_nodes)
+        nodes["label"] = labels
+        nodes["year"] = rng.randint(2010, 2020, num_nodes)
+        edges = pd.DataFrame({"src": src, "dst": dst})
+    nodes.to_csv(os.path.join(root, "nodes.csv"), index=False)
+    edges.to_csv(os.path.join(root, "edges.csv"), index=False)
+    return root
+
+
+def write_synthetic_hm_csv(path: str, num_rows: int = 800,
+                           num_customers: int = 80, num_articles: int = 40,
+                           seed: int = 0) -> str:
+    rng = np.random.RandomState(seed)
+    n = num_rows
+    cats = {
+        "postal_code": [f"pc{i}" for i in range(10)],
+        "product_type_name": ["Trousers", "Dress", "Sweater", "T-shirt"],
+        "product_group_name": ["Garment Lower body", "Garment Upper body"],
+        "graphical_appearance_name": ["Solid", "Stripe", "Print"],
+        "colour_group_name": ["Black", "White", "Blue", "Red"],
+        "perceived_colour_value_name": ["Dark", "Light", "Medium"],
+        "perceived_colour_master_name": ["Black", "White", "Blue"],
+        "department_name": ["Jersey", "Knitwear", "Trouser"],
+        "index_name": ["Ladieswear", "Menswear", "Divided"],
+        "index_group_name": ["Ladieswear", "Menswear"],
+        "section_name": ["Womens Everyday", "Mens Basics"],
+        "garment_group_name": ["Jersey Fancy", "Knitwear"],
+    }
+    df = pd.DataFrame({
+        "t_dat": rng.randint(0, 20 * 86400, n).astype(np.int64),
+        "customer_id": rng.randint(0, num_customers, n),
+        "article_id": num_customers + rng.randint(0, num_articles, n),
+        "price": rng.rand(n),
+        **{k: rng.choice(v, n) for k, v in cats.items()},
+    })
+    df.to_csv(path, index=False)
+    return path

@@ -176,11 +176,16 @@ class Trainer:
         cfg = self.cfg
         loader = DataLoader(view.tensor_frame, cfg.batch_size,
                             shuffle=(mode == "train"), seed=cfg.seed)
+        ignore = getattr(self.dataset, "ignore_label", None)
         for tf, valid in loader:
             if "node" in cfg.task:
                 y = np.asarray(tf.y)
                 ids = y[:, 1].astype(np.int64)
                 gb = self.dataset.get_node_inputs(ids, y[:, :1], valid, mode)
+                if ignore is not None:
+                    # mask out the unknown class (elliptic y != 2,
+                    # elliptic_bitcoin.py:179)
+                    gb.seed_mask = gb.seed_mask & (y[:, 0] != ignore)
             elif "mcm" in cfg.task:
                 gb = self.dataset.get_mcm_inputs(np.asarray(tf.y), valid,
                                                  mode)

@@ -44,9 +44,12 @@ def cross_entropy(logits, labels, weights: Optional[jnp.ndarray] = None,
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     labels = labels.astype(jnp.int32)
-    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    # out-of-range labels (e.g. a masked-out "unknown" class) are clipped;
+    # their contribution must be zeroed via `mask`
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    ce = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
     if weights is not None:
-        w = jnp.asarray(weights)[labels]
+        w = jnp.asarray(weights)[safe]
     else:
         w = jnp.ones_like(ce)
     if mask is not None:

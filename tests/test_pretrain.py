@@ -15,7 +15,7 @@ from rmm_tpu.utils.config import Config
 def prepared_csv(tmp_path_factory):
     from rmm_tpu.datasets.synthetic import synthetic_aml_frame
 
-    df = synthetic_aml_frame(num_rows=900, num_accounts=90, seed=0)
+    df = synthetic_aml_frame(num_rows=500, num_accounts=60, seed=0)
     df = prepare_aml_transactions(df)
     path = str(tmp_path_factory.mktemp("aml") / "prep.csv")
     df.to_csv(path, index=False)
@@ -23,9 +23,9 @@ def prepared_csv(tmp_path_factory):
 
 
 def make_cfg(**kw):
-    base = dict(model="tabgnnfused", batch_size=64, epochs=1, n_hidden=16,
-                n_gnn_layers=1, num_neighs=(6, 6), edge_capacity=512,
-                node_capacity=512, lr=2e-4, num_neg_samples=8, testing=True)
+    base = dict(model="tabgnnfused", batch_size=32, epochs=1, n_hidden=16,
+                n_gnn_layers=1, num_neighs=(4, 4), edge_capacity=256,
+                node_capacity=256, lr=2e-4, num_neg_samples=4, testing=True)
     base.update(kw)
     return Config(**base)
 
