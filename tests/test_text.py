@@ -1,0 +1,118 @@
+"""Tests for the text stack: embedders, tokenizer, LoRA, finetune encoder,
+AmazonFashion dataset, downstream + pure-LLM trainers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmm_tpu.datasets.amazon_fashion import (
+    AmazonFashionDataset,
+    synthetic_amazon_fashion,
+)
+from rmm_tpu.frame.stype import Stype
+from rmm_tpu.nn.text import (
+    HashingTextEmbedder,
+    HashingTokenizer,
+    LoRADense,
+    TextToEmbeddingFinetune,
+)
+from rmm_tpu.train.downstream_text import TextTabularRegressionTrainer
+from rmm_tpu.utils.config import Config
+from rmm_tpu.utils.pooling import last_pooling, mean_pooling
+
+
+@pytest.fixture(scope="module")
+def reviews_csv(tmp_path_factory):
+    return synthetic_amazon_fashion(
+        str(tmp_path_factory.mktemp("amz") / "reviews.csv"), num_rows=400)
+
+
+def test_hashing_embedder_deterministic_and_local():
+    emb = HashingTextEmbedder(dim=64)
+    a = emb(["great product", "great product", "terrible thing"])
+    np.testing.assert_allclose(a[0], a[1])
+    # shared n-grams → more similar than unrelated text
+    sim_same = a[0] @ emb(["great products"])[0]
+    sim_diff = a[0] @ a[2]
+    assert sim_same > sim_diff
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+
+
+def test_tokenizer_pads_and_buckets():
+    tok = HashingTokenizer(vocab_size=100, max_length=6)
+    out = tok(["hello world", ""])
+    assert out.shape == (2, 6)
+    assert (out[1] == 0).all()
+    assert out[0, 0] != 0 and (out[0] < 100).all()
+
+
+def test_pooling():
+    x = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    mask = jnp.array([[1, 1, 0], [1, 1, 1]])
+    mp = mean_pooling(x, mask)
+    assert mp.shape == (2, 1, 4)
+    np.testing.assert_allclose(np.asarray(mp[0, 0]),
+                               np.asarray(x[0, :2].mean(0)))
+    lp = last_pooling(x, mask)
+    np.testing.assert_allclose(np.asarray(lp[0]), np.asarray(x[0, 1]))
+    np.testing.assert_allclose(np.asarray(lp[1]), np.asarray(x[1, 2]))
+
+
+def test_lora_dense_freeze_base():
+    m = LoRADense(4, rank=2, freeze_base=True)
+    x = jnp.ones((3, 5))
+    p = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(m.apply(params, x) ** 2)
+
+    g = jax.grad(loss)(p)["params"]
+    assert float(jnp.abs(g["kernel"]).sum()) == 0.0  # frozen base
+    # standard LoRA init: B=0, so first grads land on lora_b
+    assert float(jnp.abs(g["lora_b"]).sum()) > 0.0   # adapters train
+
+
+def test_finetune_encoder_shapes():
+    enc = TextToEmbeddingFinetune(hidden=32, num_layers=1, lora_rank=4,
+                                  max_length=8, vocab_size=64)
+    ids = TextToEmbeddingFinetune.tokenize(["a b c", "d"], vocab_size=64,
+                                           max_length=8)
+    p = enc.init(jax.random.PRNGKey(0), jnp.array(ids))
+    out = enc.apply(p, jnp.array(ids))
+    assert out.shape == (2, 32)
+
+
+@pytest.mark.parametrize("text_stype", [Stype.text_embedded,
+                                        Stype.text_tokenized])
+def test_amazon_fashion_materializes(reviews_csv, text_stype):
+    ds = AmazonFashionDataset(root=reviews_csv, text_stype=text_stype,
+                              khop_neighbors=(4, 4), edge_capacity=256,
+                              node_capacity=256)
+    tf = ds.edges.tensor_frame
+    assert text_stype in tf.feats
+    assert tf.feats[text_stype].shape[1] == 2  # reviewText + summary
+    assert tf.y is not None
+
+
+def test_downstream_frozen_and_finetune_learn(reviews_csv):
+    cfg = Config(model="fttransformer", data=reviews_csv, batch_size=64,
+                 epochs=3, n_hidden=32, n_gnn_layers=1, lr=2e-3,
+                 dropout=0.1, testing=True)
+    for finetune, st in ((False, Stype.text_embedded),
+                         (True, Stype.text_tokenized)):
+        ds = AmazonFashionDataset(root=reviews_csv, text_stype=st,
+                                  khop_neighbors=(4, 4), edge_capacity=256,
+                                  node_capacity=256)
+        tr = TextTabularRegressionTrainer(cfg, ds, finetune_text=finetune)
+        hist, best = tr.fit()
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert best < 2.0  # ratings are 1..5; signal is learnable
+
+
+def test_finetune_llm_cli(reviews_csv, tmp_path):
+    from rmm_tpu.cli.finetune_llm import finetune_llm
+
+    hist, _ = finetune_llm(reviews_csv, epochs=2, batch_size=64, hidden=32,
+                           num_layers=1, max_length=16)
+    assert hist[-1]["eval_mse"] < hist[0]["eval_mse"] * 1.5
+    assert np.isfinite(hist[-1]["train_mse"])
