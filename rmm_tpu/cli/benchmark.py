@@ -118,6 +118,8 @@ def run_benchmark(cfg, iters: int = 100, profile: bool = False,
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     parser = create_parser()
     parser.add_argument("--iters", default=100, type=int)
     parser.add_argument("--profile", action="store_true")

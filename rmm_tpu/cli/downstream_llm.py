@@ -20,6 +20,8 @@ from ..train.downstream_text import TextTabularRegressionTrainer
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, type=str)
     p.add_argument("--text_path", default="frozen",

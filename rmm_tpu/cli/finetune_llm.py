@@ -105,6 +105,8 @@ def finetune_llm(csv_path: str, epochs: int = 5, batch_size: int = 128,
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, type=str)
     p.add_argument("--epochs", default=5, type=int)

@@ -18,6 +18,8 @@ from ..train.tabular import TabularMCMTrainer
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, type=str)
     p.add_argument("--testing", action="store_true")

@@ -54,6 +54,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     args = build_parser().parse_args(argv)
     logger_setup()
     cfg = Config(

@@ -20,6 +20,8 @@ from ..train.trainer import Trainer
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     parser = create_parser()
     args = parser.parse_args(argv)
     cfg = config_from_args(args)

@@ -97,6 +97,8 @@ def run_sweep(kind: str, base_cfg: Config, trials: int, out_path: str,
 
 
 def main(argv=None):
+    from ..utils.jaxenv import setup as _jax_setup
+    _jax_setup()
     p = argparse.ArgumentParser()
     p.add_argument("--kind", default="supervised",
                    choices=["supervised", "fused"])

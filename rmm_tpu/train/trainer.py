@@ -112,6 +112,7 @@ class Trainer:
         self.opt_state = tx.init(self.variables["params"])
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._forward_eval)
+        self._scan_step = jax.jit(self._multi_step)
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -163,6 +164,31 @@ class Trainer:
         new_vars = {"params": params, **mutated}
         return new_vars, opt_state, loss, aux
 
+    def _multi_step(self, variables, opt_state, stacked: GraphBatch, rngs,
+                    real, edge_table, node_table):
+        """K train steps in ONE dispatch via lax.scan — amortizes host→
+        device round-trip latency (decisive under the TPU tunnel, and still
+        saves dispatch overhead on directly-attached hosts). ``real`` [K]
+        marks padding steps whose state updates are discarded."""
+
+        def body(carry, inp):
+            variables, opt_state = carry
+            batch, rng, is_real = inp
+            new_vars, new_opt, loss, aux = self._step(
+                variables, opt_state, batch, rng, edge_table, node_table,
+                train=True)
+
+            def sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(is_real, a, b), new, old)
+
+            return (sel(new_vars, variables), sel(new_opt, opt_state)), (
+                loss, aux)
+
+        (variables, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (variables, opt_state), (stacked, rngs, real))
+        return variables, opt_state, losses, auxes
+
     def _forward_eval(self, variables, batch: GraphBatch, edge_table,
                       node_table):
         out = self.model.apply(variables, edge_table, node_table, batch,
@@ -197,26 +223,73 @@ class Trainer:
     def train_epoch(self, view, epoch: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
-        total_loss = 0.0
-        n_batches = 0
+        losses = []           # device scalars; converted once at epoch end
+        seed_masks, aux_list = [], []
+        K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
+        pending: list[GraphBatch] = []
+
+        def flush(n_real=None):
+            if not pending:
+                return
+            n_real = n_real if n_real is not None else len(pending)
+            if len(pending) == 1 and K == 1:
+                self.rng, k = jax.random.split(self.rng)
+                self.variables, self.opt_state, loss, aux = self._train_step(
+                    self.variables, self.opt_state, pending[0], k,
+                    self.edge_table, self.node_table, train=True)
+                losses.append(loss)
+                aux_list.append(aux)
+                seed_masks.append(pending[0].seed_mask)
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs) if xs[0] is not None else None,
+                    *pending)
+                real = np.arange(len(pending)) < n_real
+                masks = np.stack([g.seed_mask for g in pending])
+                masks[~real] = False
+                self.rng, k = jax.random.split(self.rng)
+                rngs = jax.random.split(k, len(pending))
+                (self.variables, self.opt_state, ls,
+                 auxes) = self._scan_step(
+                    self.variables, self.opt_state, stacked, rngs, real,
+                    self.edge_table, self.node_table)
+                losses.append(ls[:n_real].mean())
+                aux_list.append(auxes)
+                seed_masks.append(masks.reshape(-1))
+            pending.clear()
+
+        from ..parallel.prefetch import Prefetcher
+
+        batch_iter = Prefetcher(self._batches(view, "train"),
+                                depth=max(2 * K, 2), device_put=False)
+        for gb in batch_iter:
+            pending.append(gb)
+            if len(pending) == K:
+                flush()
+        # final partial group: pad with copies of the last batch so the SAME
+        # compiled scan program handles it — padded steps' parameter and
+        # optimizer updates are discarded inside the scan (`real` flags)
+        if pending:
+            n_real = len(pending)
+            if K > 1:
+                while len(pending) < K:
+                    pending.append(pending[-1])
+            flush(n_real)
+
+        # single host sync for the whole epoch
+        total_loss = float(np.mean([float(l) for l in losses]))
+        n_batches = len(losses)
         preds, labels = [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
-        for gb in self._batches(view, "train"):
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.variables, self.opt_state, loss, aux = self._train_step(
-                self.variables, self.opt_state, gb, step_rng,
-                self.edge_table, self.node_table, train=True)
-            total_loss += float(loss)
-            n_batches += 1
+        for aux, mask in zip(aux_list, seed_masks):
             if "mcm" in cfg.task:
-                for k in mcm:
-                    mcm[k] += float(aux[k])
+                for k2 in mcm:
+                    mcm[k2] += float(np.asarray(aux[k2]).sum())
             else:
-                m = np.asarray(gb.seed_mask)
-                preds.append(np.asarray(aux["pred_cls"])[m])
-                labels.append(np.asarray(aux["labels"])[m])
-        out = {"loss": total_loss / max(n_batches, 1),
-               "sec": time.time() - t0}
+                m = np.asarray(mask).reshape(-1)
+                preds.append(np.asarray(aux["pred_cls"]).reshape(-1)[m])
+                labels.append(np.asarray(aux["labels"]).reshape(-1)[m])
+        out = {"loss": total_loss, "sec": time.time() - t0}
         if "mcm" in cfg.task:
             out["train_rmse"] = float(
                 np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1)))
@@ -231,14 +304,17 @@ class Trainer:
         cfg = self.cfg
         preds, labels = [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        results = []  # (aux, seed_mask) pairs; device arrays stay async
         for gb in self._batches(view, mode):
             _, aux = self._eval_step(self.variables, gb, self.edge_table,
                                      self.node_table)
+            results.append((aux, gb.seed_mask))
+        for aux, mask in results:
             if "mcm" in cfg.task:
                 for k in mcm:
                     mcm[k] += float(aux[k])
             else:
-                m = np.asarray(gb.seed_mask)
+                m = np.asarray(mask)
                 preds.append(np.asarray(aux["pred_cls"])[m])
                 labels.append(np.asarray(aux["labels"])[m])
         if "mcm" in cfg.task:

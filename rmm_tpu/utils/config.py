@@ -52,6 +52,8 @@ class Config:
     moo: str = "sum"                  # sum | moco
 
     # misc
+    steps_per_dispatch: int = 1   # >1: lax.scan K train steps per dispatch
+
     seed: int = 1
     testing: bool = False
     tqdm: bool = False
