@@ -17,20 +17,48 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class MultiHeadSelfAttention(nn.Module):
+    """Self-attention over the column-token axis.
+
+    Two execution paths sharing one parameter set:
+      * fused Pallas kernel (qkv → scores → softmax → context → out in one
+        VMEM-resident program; :mod:`rmm_tpu.ops.pallas.column_attention`)
+        when on TPU, dropout inactive, and C is lane-aligned;
+      * plain XLA einsum path otherwise (and for the backward pass).
+    """
+
     channels: int
     nhead: int
     dropout: float = 0.0
+    use_pallas: str = "auto"   # auto | always | never
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         B, S, C = x.shape
         assert C % self.nhead == 0, "channels must divide nhead"
         hd = C // self.nhead
-        qkv = nn.Dense(3 * C, name="qkv")(x)  # [B, S, 3C]
+        wqkv = self.param("qkv_kernel", nn.initializers.lecun_normal(),
+                          (C, 3 * C))
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
+        wout = self.param("out_kernel", nn.initializers.lecun_normal(),
+                          (C, C))
+        bout = self.param("out_bias", nn.initializers.zeros, (C,))
+
+        dropout_active = (not deterministic) and self.dropout > 0.0
+        kernel_ok = (self.use_pallas != "never" and deterministic
+                     and not dropout_active
+                     and C % 128 == 0
+                     and jax.default_backend() == "tpu")
+        if self.use_pallas == "always" or kernel_ok:
+            from ..ops.pallas.column_attention import fused_column_attention
+            return fused_column_attention(x, wqkv, bqkv, wout, bout,
+                                          self.nhead)
+
+        qkv = x @ wqkv + bqkv
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -42,7 +70,7 @@ class MultiHeadSelfAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
-        return nn.Dense(C, name="out")(out)
+        return out @ wout + bout
 
 
 class TransformerEncoderLayer(nn.Module):
