@@ -82,7 +82,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref, *, bt, s,
 def fused_column_attention(x: jnp.ndarray, wqkv: jnp.ndarray,
                            bqkv: jnp.ndarray, wout: jnp.ndarray,
                            bout: jnp.ndarray, nhead: int,
-                           block_rows: int = 256,
+                           block_rows: int = 128,
                            interpret: bool = False) -> jnp.ndarray:
     """x: [B, S, C] → attention output [B, S, C] (no dropout)."""
     B, S, C = x.shape
@@ -94,7 +94,11 @@ def fused_column_attention(x: jnp.ndarray, wqkv: jnp.ndarray,
     x2 = x.reshape(B * S, C)
 
     kernel = functools.partial(_kernel, bt=bt, s=S, c=C, nhead=nhead)
-    mem = {} if not _HAS_TPU_PALLAS else {"memory_space": pltpu.ANY}
+    extra = {}
+    if _HAS_TPU_PALLAS and not interpret:
+        # unrolled per-head buffers push scoped VMEM past the 16M default
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B * S, C), x.dtype),
@@ -108,6 +112,7 @@ def fused_column_attention(x: jnp.ndarray, wqkv: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bt * S, C), lambda i: (i, 0)),
         interpret=interpret,
+        **extra,
     )(x2, wqkv, bqkv, wout, bout)
     return out.reshape(B, S, C)
 
