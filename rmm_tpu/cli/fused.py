@@ -13,7 +13,7 @@ import logging
 import os
 
 from ..datasets import IBMTransactionsAML
-from ..datasets.base import PretrainType, parse_pretrain_args
+from ..datasets.base import PretrainType
 from ..utils.config import Config
 from ..utils.logging import RunLogger, logger_setup
 from ..train.pretrain import PretrainTrainer

@@ -17,8 +17,7 @@ import numpy as np
 import pandas as pd
 
 from ..frame.stype import Stype
-from .base import PretrainType
-from .graph_dataset import EdgeTable, GraphTableDataset, NodeTable
+from .graph_dataset import EdgeTable, NodeTable
 from .node_family import NodeClassificationDataset
 
 ETH_EDGE_SCHEMA = {

@@ -14,7 +14,6 @@ from typing import Optional, Sequence
 import pandas as pd
 
 from ..frame.stype import Stype
-from .base import PretrainType
 from .graph_dataset import EdgeTable, GraphTableDataset, NodeTable
 
 AML_COLUMNS = [

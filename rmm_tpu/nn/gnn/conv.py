@@ -14,7 +14,7 @@ Edge gathers/scatters are XLA gather/scatter — fully fused under jit.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

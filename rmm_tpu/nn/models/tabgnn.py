@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..norms import MaskedBatchNorm
 from ..transformer import CLSToken, FTTransformerLayer

@@ -6,3 +6,4 @@ from .data_parallel import (  # noqa: F401
     stack_batches,
 )
 from .prefetch import Prefetcher  # noqa: F401
+from .distributed import maybe_init_distributed, global_batch_slice  # noqa: F401

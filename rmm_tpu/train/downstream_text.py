@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,6 @@ import numpy as np
 import optax
 
 from ..frame.loader import DataLoader
-from ..frame.stype import Stype
 from ..nn.decoders import SupervisedHead
 from ..nn.encoders import make_stypewise_encoder
 from ..nn.models import FTTransformer

@@ -18,7 +18,7 @@ Conventions (mirroring the reference):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

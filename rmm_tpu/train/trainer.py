@@ -9,10 +9,9 @@ batch and computes the MCM loss on CPU, ``fused.py:289-290``).
 """
 from __future__ import annotations
 
-import functools
 import logging
 import time
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,6 @@ import numpy as np
 import optax
 
 from ..frame.loader import DataLoader
-from ..frame.stype import Stype
 from ..nn.encoders import make_stypewise_encoder
 from ..utils.batch import GraphBatch
 from ..utils.config import Config
