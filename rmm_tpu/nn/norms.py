@@ -38,13 +38,17 @@ class MaskedBatchNorm(nn.Module):
                 mean = (x * m).sum(0) / n
                 var = ((x - mean) ** 2 * m).sum(0) / n
             else:
+                n = jnp.asarray(x.shape[0], x.dtype)
                 mean = x.mean(0)
                 var = x.var(0)
             if not self.is_initializing():
+                # torch BatchNorm tracks the UNBIASED variance in its
+                # running stats (normalization itself uses the biased one)
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * unbiased)
         else:
             mean, var = ra_mean.value, ra_var.value
 
