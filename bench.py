@@ -19,12 +19,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+try:  # persistent compile cache (cold compiles cost minutes via the relay)
+    from rmm_tpu.utils.jaxenv import setup as _jax_setup
+
+    _jax_setup()
+except Exception:
+    pass
+
 ROWS = 1 << 17          # 131072 rows in the table
 BATCH = 8192            # rows per forward
 CHANNELS = 128          # SSL config of record (fused.py:626-630)
 LAYERS = 3
-WARMUP = 3
-ITERS = 20
+WARMUP = 10
+ITERS = 200
 
 
 def build(rows: int):
@@ -75,25 +82,41 @@ def measure(iters: int = ITERS, rows: int = ROWS) -> float:
     import jax.numpy as jnp
 
     fwd, params, table, idx0 = build(rows)
+    if os.environ.get("BENCH_BF16"):
+        # serving precision: bf16 params/tables, f32 accumulation in matmuls
+        from rmm_tpu.utils.precision import cast_floats
+
+        params = cast_floats(params, jnp.bfloat16)
+        table = cast_floats(table, jnp.bfloat16)
     n = table.num_rows
-    out = fwd(params, table, idx0)
-    jax.block_until_ready(out)
-    for i in range(WARMUP):
-        jax.block_until_ready(
-            fwd(params, table, (idx0 + i * BATCH) % n))
+
+    # time the whole loop ON DEVICE (lax.fori_loop → ONE dispatch + ONE
+    # sync); host-side per-call dispatch/sync latency would otherwise
+    # dominate and make the number noise, especially through a TPU tunnel
+    def run_n(params, table, n_iters):
+        def body(i, acc):
+            idx = (idx0 + i * BATCH) % n
+            return acc + fwd(params, table, idx)
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    run_n = jax.jit(run_n, static_argnames=("n_iters",))
+    # slope method: (t[iters] - t[1]) removes the dispatch+sync intercept
+    jax.block_until_ready(run_n(params, table, 1))
+    jax.block_until_ready(run_n(params, table, iters))
     t0 = time.perf_counter()
-    acc = None
-    for i in range(iters):
-        acc = fwd(params, table, (idx0 + (i * BATCH) % n) % n)
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    jax.block_until_ready(run_n(params, table, 1))
+    t1 = time.perf_counter()
+    jax.block_until_ready(run_n(params, table, iters))
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9)
+    return BATCH * (iters - 1) / dt
 
 
 def main():
     if "--cpu-baseline" in sys.argv:
         # clean process: no axon .pth in PYTHONPATH, CPU platform
-        print(json.dumps({"rows_per_sec": measure(iters=5, rows=ROWS)}))
+        print(json.dumps({"rows_per_sec": measure(iters=6, rows=ROWS)}))
         return
 
     import numpy as np  # noqa: F401

@@ -90,9 +90,13 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         self.rng, init_key = jax.random.split(key)
         dummy = self._dummy_batch()
-        self.variables = self.model.init(
+        init_vars = self.model.init(
             {"params": init_key, "dropout": init_key},
             self.edge_table, self.node_table, dummy, False)
+        # normalize: batch_stats always present (possibly empty) so the
+        # scan carry structure is stable across models with/without BN
+        self.variables = {"params": init_vars["params"],
+                          "batch_stats": init_vars.get("batch_stats", {})}
 
         tx = optax.adam(cfg.lr, eps=cfg.adam_eps)
         if freeze_tabular:
