@@ -220,6 +220,7 @@ class PretrainTrainer:
                            else None)
         self._train_step = jax.jit(self._step)
         self._eval_step = jax.jit(self._eval)
+        self._scan_step = jax.jit(self._multi_step)
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -268,6 +269,33 @@ class PretrainTrainer:
                      if k in ("loss_c", "t_c", "acc", "loss_n", "t_n")}
         return params, stats, opt_state, moco_state, loss, small_aux
 
+    def _multi_step(self, params, batch_stats, opt_state, moco_state,
+                    stacked, rngs, real):
+        """K pretrain steps per dispatch (lax.scan; see Trainer._multi_step).
+        Padding steps' state updates are discarded via ``real`` flags."""
+
+        def body(carry, inp):
+            params, batch_stats, opt_state, moco_state = carry
+            batch, rng, is_real = inp
+            new = self._step(params, batch_stats, opt_state, moco_state,
+                             batch, rng)
+            n_params, n_stats, n_opt, n_moco, loss, aux = new
+
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(is_real, x, y), a, b)
+
+            carry = (sel(n_params, params), sel(n_stats, batch_stats),
+                     sel(n_opt, opt_state),
+                     sel(n_moco, moco_state) if moco_state is not None
+                     else None)
+            return carry, (loss, aux)
+
+        carry = (params, batch_stats, opt_state, moco_state)
+        carry, (losses, auxes) = jax.lax.scan(body, carry,
+                                              (stacked, rngs, real))
+        return (*carry, losses, auxes)
+
     def _eval(self, params, batch_stats, batch):
         losses, aux, _ = self.pm.mode_losses(
             params, batch_stats, batch, self.edge_table,
@@ -285,20 +313,58 @@ class PretrainTrainer:
                 num_neg_samples=cfg.num_neg_samples, neg_seed=i)
 
     def train_epoch(self, view, epoch: int) -> dict:
+        from ..parallel.prefetch import Prefetcher
+
         t0 = time.time()
+        K = max(int(getattr(self.cfg, "steps_per_dispatch", 1)), 1)
+        results = []   # (loss, aux, n_real) — device arrays, synced at end
+        pending = []
+
+        def flush(n_real=None):
+            if not pending:
+                return
+            n_real = n_real if n_real is not None else len(pending)
+            if K == 1:
+                self.rng, k = jax.random.split(self.rng)
+                (self.params, self.batch_stats, self.opt_state,
+                 self.moco_state, loss, aux) = self._train_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    self.moco_state, pending[0], k)
+                results.append((loss, aux, 1))
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs) if xs[0] is not None else None,
+                    *pending)
+                real = np.arange(len(pending)) < n_real
+                self.rng, k = jax.random.split(self.rng)
+                rngs = jax.random.split(k, len(pending))
+                (self.params, self.batch_stats, self.opt_state,
+                 self.moco_state, losses, auxes) = self._scan_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    self.moco_state, stacked, rngs, real)
+                results.append((losses[:n_real], auxes, n_real))
+            pending.clear()
+
+        for gb in Prefetcher(self._batches(view, "train"),
+                             depth=max(2 * K, 2), device_put=False):
+            pending.append(gb)
+            if len(pending) == K:
+                flush()
+        if pending:
+            n_real = len(pending)
+            while len(pending) < K and K > 1:
+                pending.append(pending[-1])
+            flush(n_real)
+
         tot = cnt = 0.0
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
-        for gb in self._batches(view, "train"):
-            self.rng, k = jax.random.split(self.rng)
-            (self.params, self.batch_stats, self.opt_state, self.moco_state,
-             loss, aux) = self._train_step(
-                self.params, self.batch_stats, self.opt_state,
-                self.moco_state, gb, k)
-            tot += float(loss)
+        for loss, aux, n_real in results:
+            tot += float(np.asarray(loss).mean())
             cnt += 1
             for key in mcm:
                 if key in aux:
-                    mcm[key] += float(aux[key])
+                    v = np.asarray(aux[key])
+                    mcm[key] += float(v[:n_real].sum() if v.ndim else v)
         out = {"loss": tot / max(cnt, 1), "sec": time.time() - t0}
         if "mcm" in self.mode:
             out["train_loss_c"] = mcm["loss_c"] / max(mcm["t_c"], 1)
