@@ -116,6 +116,58 @@ def run_benchmark(cfg, iters: int = 100, profile: bool = False,
     return summary
 
 
+def run_pretrain_benchmark(cfg, mode: str = "mcm-lp", iters: int = 100):
+    """Profile the joint SSL loop (the reference's profiled ``train_mcm`` /
+    joint ``train``, ``benchmark.py:153-182,676-744``)."""
+    from ..datasets import IBMTransactionsAML
+    from ..datasets.base import PretrainType
+    from ..train.pretrain import PretrainTrainer
+
+    pretrain = {PretrainType.LINK_PRED}
+    if "mcm" in mode:
+        pretrain.add(PretrainType.MASK)
+    dataset = IBMTransactionsAML(
+        root=cfg.data, pretrain=pretrain, khop_neighbors=cfg.num_neighs,
+        channels=cfg.n_hidden, edge_capacity=cfg.edge_capacity,
+        node_capacity=cfg.node_capacity)
+    trainer = PretrainTrainer(cfg, dataset, mode=mode)
+    tr, _, _ = dataset.edges.split()
+
+    phases = {"pre-processing": [], "train-step": []}
+    it = iter(trainer._batches(tr, "train"))
+    rng = jax.random.PRNGKey(0)
+    # warmup/compile
+    gb = next(it)
+    out = trainer._train_step(trainer.params, trainer.batch_stats,
+                              trainer.opt_state, trainer.moco_state, gb, rng)
+    jax.block_until_ready(out[4])
+    done = 0
+    while done < iters:
+        t0 = time.perf_counter()
+        try:
+            gb = next(it)
+        except StopIteration:
+            it = iter(trainer._batches(tr, "train"))
+            continue
+        phases["pre-processing"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = trainer._train_step(out[0], out[1], out[2], out[3], gb,
+                                  jax.random.fold_in(rng, done))
+        jax.block_until_ready(out[4])
+        phases["train-step"].append(time.perf_counter() - t0)
+        done += 1
+    table = {k: {"mean_ms": float(np.mean(v) * 1e3),
+                 "p50_ms": float(np.median(v) * 1e3)}
+             for k, v in phases.items()}
+    summary = {"loop": f"pretrain:{mode}", "iters": iters,
+               "batch_size": cfg.batch_size,
+               "rows_per_sec": cfg.batch_size / np.mean(
+                   phases["train-step"]),
+               "phases": table}
+    logging.info(json.dumps(summary, indent=2))
+    return summary
+
+
 def main(argv=None):
     from ..utils.jaxenv import setup as _jax_setup
     _jax_setup()
@@ -123,9 +175,13 @@ def main(argv=None):
     parser.add_argument("--iters", default=100, type=int)
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--trace_dir", default="/tmp/rmm_trace", type=str)
+    parser.add_argument("--loop", default="supervised",
+                        choices=["supervised", "mcm", "lp", "mcm-lp"])
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     logger_setup()
+    if args.loop != "supervised":
+        return run_pretrain_benchmark(cfg, mode=args.loop, iters=args.iters)
     return run_benchmark(cfg, iters=args.iters, profile=args.profile,
                          trace_dir=args.trace_dir)
 
