@@ -115,6 +115,7 @@ class Trainer:
         self._train_step = jax.jit(self._step, static_argnames=("train",))
         self._eval_step = jax.jit(self._forward_eval)
         self._scan_step = jax.jit(self._multi_step)
+        self._scan_eval = jax.jit(self._multi_eval)
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -197,6 +198,17 @@ class Trainer:
                                False)
         loss, aux = self._loss_from_pred(out, batch)
         return loss, aux
+
+    def _multi_eval(self, variables, stacked: GraphBatch, edge_table,
+                    node_table):
+        """K eval forwards in one dispatch (scan over stacked batches)."""
+        def body(carry, batch):
+            loss, aux = self._forward_eval(variables, batch, edge_table,
+                                           node_table)
+            return carry, (loss, aux)
+
+        _, (losses, auxes) = jax.lax.scan(body, None, stacked)
+        return losses, auxes
 
     # ------------------------------------------------------------------
     def _batches(self, view, mode: str):
@@ -307,7 +319,33 @@ class Trainer:
         preds, labels = [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
         results = []  # (aux, seed_mask) pairs; device arrays stay async
+        K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
+        pending = []
+
+        def flush_eval():
+            if not pending:
+                return
+            if len(pending) == 1:
+                _, aux = self._eval_step(self.variables, pending[0],
+                                         self.edge_table, self.node_table)
+                results.append((aux, pending[0].seed_mask))
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs) if xs[0] is not None else None,
+                    *pending)
+                _, auxes = self._scan_eval(self.variables, stacked,
+                                           self.edge_table, self.node_table)
+                for j, gb in enumerate(pending):
+                    aux_j = jax.tree_util.tree_map(lambda a: a[j], auxes)
+                    results.append((aux_j, gb.seed_mask))
+            pending.clear()
+
         for gb in self._batches(view, mode):
+            pending.append(gb)
+            if len(pending) == K:
+                flush_eval()
+        while pending:  # trailing group: run one-by-one (stable shapes)
+            gb = pending.pop(0)
             _, aux = self._eval_step(self.variables, gb, self.edge_table,
                                      self.node_table)
             results.append((aux, gb.seed_mask))
