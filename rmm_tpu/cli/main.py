@@ -44,7 +44,16 @@ def main(argv=None):
         cfg = cfg.replace(n_classes=dataset.n_classes)
         logging.info(f"dataset declares n_classes={cfg.n_classes}")
 
-    trainer = Trainer(cfg, dataset, freeze_tabular=cfg.freeze)
+    if getattr(args, "dp", 0):
+        from ..utils.jaxenv import ensure_devices
+        from ..train.dp_trainer import DataParallelTrainer
+
+        ensure_devices(args.dp)
+
+        trainer = DataParallelTrainer(cfg, dataset, n_devices=args.dp,
+                                      freeze_tabular=cfg.freeze)
+    else:
+        trainer = Trainer(cfg, dataset, freeze_tabular=cfg.freeze)
     if cfg.load_model:
         components = None if cfg.checkpoint else ["node_encoder",
                                                   "edge_encoder"]

@@ -108,6 +108,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--node_capacity", default=4096, type=int)
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--dropout", default=None, type=float)
+    p.add_argument("--dp", default=0, type=int,
+                   help="data-parallel over N devices (0 = single chip)")
+    p.add_argument("--steps_per_dispatch", default=1, type=int)
     return p
 
 
@@ -127,6 +130,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     )
     if args.lr is not None:
         cfg = cfg.replace(lr=args.lr)
+    if getattr(args, "steps_per_dispatch", 1) != 1:
+        cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)
