@@ -43,7 +43,11 @@ class EllipticBitcoin(NodeClassificationDataset):
         edges_df["txId2"] = edges_df["txId2"].map(remap)
         edges_df = edges_df.dropna().astype({"txId1": int, "txId2": int})
 
-        ts_col = nodes_df.columns[2] if len(nodes_df.columns) > 2 else None
+        # temporal split over the time-step feature (the reference uses the
+        # column literally named '1', elliptic_bitcoin.py:228)
+        ts_col = ("1" if "1" in nodes_df.columns
+                  else (nodes_df.columns[2] if len(nodes_df.columns) > 2
+                        else None))
         nodes = FeatureNodeTable(
             nodes_df, label_col="class", id_col="txId",
             exclude=("index",), split_type=split_type, splits=splits,

@@ -107,3 +107,14 @@ def test_prefetcher_preserves_order_and_errors():
     next(pf)
     with pytest.raises(RuntimeError):
         next(pf)
+
+
+def test_data_parallel_trainer_fit(setup):
+    from rmm_tpu.train.dp_trainer import DataParallelTrainer
+
+    cfg, ds = setup
+    tr = DataParallelTrainer(cfg, ds, n_devices=8)
+    hist, best = tr.fit()
+    assert hist[-1]["chips"] == 8
+    assert np.isfinite(hist[-1]["loss"])
+    assert 0.0 <= best <= 1.0
