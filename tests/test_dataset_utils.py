@@ -1,0 +1,103 @@
+"""Tests for dataset plumbing: packed target layouts, split algorithms,
+mask reproducibility, config overrides, checkpoint path parsing."""
+import argparse
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rmm_tpu.datasets.base import (
+    PretrainType,
+    apply_split,
+    build_mask_target,
+    create_mask,
+    pack_link_column,
+    pack_target,
+    parse_pretrain_args,
+    temporal_balanced_split,
+)
+from rmm_tpu.utils.checkpoint import parse_checkpoint_path
+from rmm_tpu.utils.config import config_from_args, create_parser
+
+
+def test_pack_target_layouts():
+    link = pack_link_column(np.array([3, 4]), np.array([5, 6]))
+    assert link.shape == (2, 3)
+    np.testing.assert_array_equal(link[:, 2], [0, 1])  # edge ids
+
+    sup = pack_target(set(), link, None, np.array([1.0, 0.0]))
+    assert sup.shape == (2, 4)  # [label, src, dst, id]  (util/mask.py:43)
+    np.testing.assert_array_equal(sup[0], [1, 3, 5, 0])
+
+    mask_t = np.array([[2.5, 0], [1.0, 2]], np.float32)
+    both = pack_target({PretrainType.MASK, PretrainType.LINK_PRED}, link,
+                       mask_t, None)
+    assert both.shape == (2, 5)  # [val, col, src, dst, id] (mask.py:56-63)
+
+    only_mask = pack_target({PretrainType.MASK}, link, mask_t, None)
+    assert only_mask.shape == (2, 2)
+    only_lp = pack_target({PretrainType.LINK_PRED}, link, mask_t, None)
+    assert only_lp.shape == (2, 3)
+
+
+def test_parse_pretrain_args():
+    assert parse_pretrain_args(["mask", "lp"]) == {
+        PretrainType.MASK, PretrainType.LINK_PRED}
+    assert parse_pretrain_args(None) == set()
+
+
+def test_temporal_balanced_split_hits_ratios():
+    rng = np.random.RandomState(0)
+    n = 3000
+    df = pd.DataFrame({"ts": rng.randint(0, 20 * 86400, n)})
+    df = temporal_balanced_split(df, [0.6, 0.2, 0.2], "ts")
+    frac = df["split"].value_counts(normalize=True).sort_index()
+    assert abs(frac[0] - 0.6) < 0.08
+    assert abs(frac[1] - 0.2) < 0.08
+    # temporal ordering: max train ts <= min test ts day-wise
+    day = df["ts"] // 86400
+    assert day[df.split == 0].max() <= day[df.split == 2].min()
+
+
+def test_split_dispatch_modes():
+    df = pd.DataFrame({"ts": np.arange(100)})
+    for mode in ("random", "temporal", "temporal_daily"):
+        out = apply_split(df.copy(), mode, [0.6, 0.2, 0.2], "ts")
+        assert set(out["split"].unique()) <= {0, 1, 2}
+    out = apply_split(df.copy(), "cutoff", [30, 70], "ts")
+    assert (out.loc[out.ts < 30, "split"] == 0).all()
+    assert (out.loc[out.ts > 70, "split"] == 2).all()
+
+
+def test_create_mask_cached(tmp_path):
+    df = pd.DataFrame({"a": np.arange(50), "b": np.arange(50)})
+    root = str(tmp_path / "ds")
+    m1 = create_mask(root, df, ["a", "b"], seed=0)
+    m2 = create_mask(root, df, ["a", "b"], seed=999)  # seed ignored: cached
+    np.testing.assert_array_equal(m1, m2)
+    assert set(m1) <= {"a", "b"}
+
+
+def test_build_mask_target_indices():
+    df = pd.DataFrame({"num": [1.5, 2.5], "cat": ["x", "y"]})
+    mask_col = np.array(["num", "cat"])
+    t = build_mask_target(df, mask_col, ["num"], ["cat"],
+                          {"cat": {"x": 0, "y": 1}})
+    np.testing.assert_array_equal(t[0], [1.5, 0])   # numerical col idx 0
+    np.testing.assert_array_equal(t[1], [1.0, 1])   # cat code 1, col idx 1
+
+
+def test_config_dataset_overrides():
+    parser = create_parser()
+    args = parser.parse_args([
+        "--model", "gin", "--data", "/x/ethereum-phishing-transaction-network"])
+    cfg = config_from_args(args)
+    assert cfg.lr == 0.0008 and cfg.w_ce2 == 1.16  # main.py:229-233
+    args = parser.parse_args(["--model", "gin", "--data", "/x/ogbn_arxiv"])
+    cfg = config_from_args(args)
+    assert cfg.task == "node_classification" and cfg.n_classes == 40
+
+
+def test_parse_checkpoint_path():
+    run_id, epoch = parse_checkpoint_path("/w/run_ab12/7/")
+    assert run_id == "run_ab12" and epoch == 7
