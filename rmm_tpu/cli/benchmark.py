@@ -69,7 +69,7 @@ def run_benchmark(cfg, iters: int = 100, profile: bool = False,
         t0 = time.perf_counter()
         out = trainer._train_step(trainer.variables, trainer.opt_state, gb,
                                   rng, trainer.edge_table,
-                                  trainer.node_table, train=True)
+                                  trainer.node_table)
         jax.block_until_ready(out[2])
         phases["train-step"].append(time.perf_counter() - t0)
         trainer.variables, trainer.opt_state = out[0], out[1]

@@ -112,7 +112,7 @@ class Trainer:
                 {"train": tx, "frozen": optax.set_to_zero()}, labels)
         self.tx = tx
         self.opt_state = tx.init(self.variables["params"])
-        self._train_step = jax.jit(self._step, static_argnames=("train",))
+        self._train_step = jax.jit(self._step)
         self._eval_step = jax.jit(self._forward_eval)
         self._scan_step = jax.jit(self._multi_step)
         self._scan_eval = jax.jit(self._multi_eval)
@@ -149,7 +149,7 @@ class Trainer:
         return loss, aux
 
     def _step(self, variables, opt_state, batch: GraphBatch, rng,
-              edge_table, node_table, train: bool = True):
+              edge_table, node_table):
         def loss_fn(params):
             out, mutated = self.model.apply(
                 {"params": params,
@@ -178,8 +178,7 @@ class Trainer:
             variables, opt_state = carry
             batch, rng, is_real = inp
             new_vars, new_opt, loss, aux = self._step(
-                variables, opt_state, batch, rng, edge_table, node_table,
-                train=True)
+                variables, opt_state, batch, rng, edge_table, node_table)
 
             def sel(new, old):
                 return jax.tree_util.tree_map(
@@ -250,7 +249,7 @@ class Trainer:
                 self.rng, k = jax.random.split(self.rng)
                 self.variables, self.opt_state, loss, aux = self._train_step(
                     self.variables, self.opt_state, pending[0], k,
-                    self.edge_table, self.node_table, train=True)
+                    self.edge_table, self.node_table)
                 losses.append(loss)
                 aux_list.append(aux)
                 seed_masks.append(pending[0].seed_mask)

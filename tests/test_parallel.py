@@ -85,7 +85,7 @@ def test_dp_grads_match_mean_of_per_chip(setup):
                                   trainer.node_table)
     v_sc, _, loss_sc, _ = trainer._train_step(
         trainer.variables, trainer.opt_state, gb, jax.random.PRNGKey(7),
-        trainer.edge_table, trainer.node_table, train=True)
+        trainer.edge_table, trainer.node_table)
     np.testing.assert_allclose(float(loss_dp), float(loss_sc), rtol=1e-4)
     a = jax.tree_util.tree_leaves(v_dp["params"])
     b = jax.tree_util.tree_leaves(v_sc["params"])
