@@ -19,7 +19,7 @@ import numpy as np
 import optax
 
 from ..frame.loader import DataLoader
-from ..nn.decoders import SelfSupervisedHead
+from ..nn.decoders import SelfSupervisedHead, SelfSupervisedMVHead
 from ..nn.encoders import make_stypewise_encoder
 from ..nn.models import FTTransformer
 from ..utils.config import Config
@@ -31,14 +31,19 @@ logger = logging.getLogger(__name__)
 
 
 class TabularMCMTrainer:
-    def __init__(self, cfg: Config, edges):
-        """edges: a materialized EdgeTable with MASK pretrain target."""
+    def __init__(self, cfg: Config, edges, mask_vector: bool = False):
+        """edges: a materialized EdgeTable with MASK pretrain target.
+        ``mask_vector=True`` adds the VIME-style mask-vector head + loss
+        (the reference's MASK_VECTOR pretrain type, util/mask.py:22,
+        SelfSupervisedMVHead)."""
         self.cfg = cfg
         self.edges = edges
+        self.mask_vector = mask_vector
         self.encoder = make_stypewise_encoder(edges, cfg.n_hidden)
         self.model = FTTransformer(cfg.n_hidden, cfg.n_gnn_layers,
                                    dropout=cfg.dropout)
-        self.head = SelfSupervisedHead(
+        head_cls = SelfSupervisedMVHead if mask_vector else SelfSupervisedHead
+        self.head = head_cls(
             cfg.n_hidden, len(edges.masked_numerical_columns),
             tuple(edges.masked_categorical_cardinalities()))
         self.ssloss = SSLoss(len(edges.masked_numerical_columns))
@@ -64,14 +69,19 @@ class TabularMCMTrainer:
         rngs = {"dropout": rng} if train else {}
         _, x_cls = self.model.apply(params["model"], tokens, not train,
                                     rngs=rngs)
+        if self.mask_vector:
+            num_out, cat_out, mv_out = self.head.apply(params["head"], x_cls)
+            return num_out, cat_out, mv_out
         num_out, cat_out = self.head.apply(params["head"], x_cls)
-        return num_out, cat_out
+        return num_out, cat_out, None
 
     def _step(self, params, opt_state, tf, seed_mask, rng):
         def loss_fn(p):
-            num_out, cat_out = self._fwd(p, tf, rng, True)
+            num_out, cat_out, mv_out = self._fwd(p, tf, rng, True)
             total, (cl, tc, acc), (nl, tn) = self.ssloss.mcm_loss(
                 cat_out, num_out, tf.y, valid_mask=seed_mask)
+            if mv_out is not None:
+                total = total + self.ssloss.mv_loss(mv_out, tf.y, seed_mask)
             return total, {"loss_c": cl, "t_c": tc, "acc": acc,
                            "loss_n": nl, "t_n": tn}
 
@@ -105,11 +115,21 @@ class TabularMCMTrainer:
                 "sec": time.time() - t0}
 
     def evaluate(self, view) -> dict:
+        from ..utils.metric import SSMetric
+
         acc = MCMAccumulator(self.ssloss.num_numerical)
+        mv_accs = []
         for tf, valid in self._loader(view, False):
-            num_out, cat_out = self._eval_step(self.params, tf)
+            num_out, cat_out, mv_out = self._eval_step(self.params, tf)
             acc.update(cat_out, num_out, np.asarray(tf.y), valid)
-        return {"accuracy": acc.accuracy, "rmse": acc.rmse}
+            if mv_out is not None:
+                ssm = SSMetric(self.ssloss.num_numerical)
+                mv_accs.append(ssm.mv_accuracy(
+                    np.asarray(mv_out)[:valid], np.asarray(tf.y)[:valid]))
+        out = {"accuracy": acc.accuracy, "rmse": acc.rmse}
+        if mv_accs:
+            out["mv_accuracy"] = float(np.mean(mv_accs))
+        return out
 
     def fit(self, run_logger=None):
         tr, va, te = self.edges.split()

@@ -80,3 +80,15 @@ def test_tabular_mcm_trains(prepared_csv):
     hist, best = tr.fit()
     assert hist[-1]["loss"] < hist[0]["loss"] * 1.05
     assert best["rmse"] < 5.0
+
+
+def test_tabular_mcm_with_mask_vector(prepared_csv):
+    cfg = make_cfg(data=prepared_csv, model="fttransformer", epochs=1)
+    dsm = IBMTransactionsAML(root=prepared_csv,
+                             pretrain={PretrainType.MASK},
+                             channels=cfg.n_hidden)
+    tr = TabularMCMTrainer(cfg, dsm.edges, mask_vector=True)
+    hist, best = tr.fit()
+    import numpy as np
+    assert np.isfinite(hist[-1]["loss"])
+    assert 0.0 <= hist[-1]["val_mv_accuracy"] <= 1.0
