@@ -216,22 +216,40 @@ class Trainer:
         loader = DataLoader(view.tensor_frame, cfg.batch_size,
                             shuffle=(mode == "train"), seed=cfg.seed)
         ignore = getattr(self.dataset, "ignore_label", None)
-        for tf, valid in loader:
+
+        def build(item):
+            i, tf, valid = item
+            # deterministic per-batch sampler seed (also makes threaded
+            # sampling order-independent)
+            seed = (cfg.seed * 1_000_003 + i * 97) & 0x7FFFFFFF
             if "node" in cfg.task:
                 y = np.asarray(tf.y)
                 ids = y[:, 1].astype(np.int64)
-                gb = self.dataset.get_node_inputs(ids, y[:, :1], valid, mode)
+                gb = self.dataset.get_node_inputs(ids, y[:, :1], valid,
+                                                  mode, rng_seed=seed)
                 if ignore is not None:
                     # mask out the unknown class (elliptic y != 2,
                     # elliptic_bitcoin.py:179)
                     gb.seed_mask = gb.seed_mask & (y[:, 0] != ignore)
             elif "mcm" in cfg.task:
                 gb = self.dataset.get_mcm_inputs(np.asarray(tf.y), valid,
-                                                 mode)
+                                                 mode, rng_seed=seed)
             else:
                 gb = self.dataset.get_graph_inputs(np.asarray(tf.y), valid,
-                                                   mode)
-            yield gb
+                                                   mode, rng_seed=seed)
+            return gb
+
+        items = ((i, tf, valid)
+                 for i, (tf, valid) in enumerate(loader))
+        threads = int(getattr(cfg, "sampler_threads", 1))
+        if threads > 1:
+            from ..parallel.parallel_sampler import ParallelBatchIterator
+
+            yield from ParallelBatchIterator(items, build,
+                                             num_threads=threads)
+        else:
+            for item in items:
+                yield build(item)
 
     def train_epoch(self, view, epoch: int) -> dict:
         cfg = self.cfg

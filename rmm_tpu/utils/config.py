@@ -53,6 +53,7 @@ class Config:
 
     # misc
     steps_per_dispatch: int = 1   # >1: lax.scan K train steps per dispatch
+    sampler_threads: int = 1      # >1: thread-pool host sampling
 
     seed: int = 1
     testing: bool = False
@@ -111,6 +112,7 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", default=0, type=int,
                    help="data-parallel over N devices (0 = single chip)")
     p.add_argument("--steps_per_dispatch", default=1, type=int)
+    p.add_argument("--sampler_threads", default=1, type=int)
     return p
 
 
@@ -132,6 +134,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(lr=args.lr)
     if getattr(args, "steps_per_dispatch", 1) != 1:
         cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
+    if getattr(args, "sampler_threads", 1) != 1:
+        cfg = cfg.replace(sampler_threads=args.sampler_threads)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)

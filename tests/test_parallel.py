@@ -118,3 +118,21 @@ def test_data_parallel_trainer_fit(setup):
     assert hist[-1]["chips"] == 8
     assert np.isfinite(hist[-1]["loss"])
     assert 0.0 <= best <= 1.0
+
+
+def test_threaded_sampling_matches_sequential(setup):
+    """ParallelBatchIterator must yield the SAME batches (deterministic
+    per-index sampler seeds) in the same order as sequential sampling."""
+    from rmm_tpu.train.trainer import Trainer
+
+    cfg, ds = setup
+    tr_seq = Trainer(cfg, ds)
+    tr_par = Trainer(cfg.replace(sampler_threads=4), ds)
+    view = ds.edges.split()[0]
+    seq = list(tr_seq._batches(view, "train"))
+    par = list(tr_par._batches(view, "train"))
+    assert len(seq) == len(par)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a.edge_gather, b.edge_gather)
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        np.testing.assert_array_equal(a.y, b.y)
