@@ -11,3 +11,14 @@ parallelism over ICI.
 __version__ = "0.1.0"
 
 from . import frame  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy subpackage access (keeps `import rmm_tpu` light — the nn/train
+    trees pull in jax/flax)."""
+    import importlib
+
+    if name in ("datasets", "graph", "nn", "ops", "parallel", "train",
+                "utils"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
