@@ -47,8 +47,10 @@ def build_parser():
     p.add_argument("--reverse_mp", action="store_true")
     p.add_argument("--ego", action="store_true")
     p.add_argument("--ports", action="store_true")
-    p.add_argument("--edge_capacity", default=4096, type=int)
-    p.add_argument("--node_capacity", default=4096, type=int)
+    p.add_argument("--edge_capacity", default=0, type=int,
+                   help="0 = auto-calibrate")
+    p.add_argument("--node_capacity", default=0, type=int,
+                   help="0 = auto-calibrate")
     p.add_argument("--wandb_dir", default="wandb/", type=str)
     return p
 

@@ -20,7 +20,6 @@ assumes, ``loss.py:44-57``).
 from __future__ import annotations
 
 import enum
-import itertools
 import os
 from typing import Optional, Sequence
 
@@ -101,15 +100,19 @@ def temporal_balanced_split(df, splits, timestamp_col):
     n_days = int(day.max()) + 1
     daily = np.bincount(day, minlength=n_days).astype(np.float64)
 
-    best, best_score = None, np.inf
-    for i, j in itertools.combinations(range(n_days), 2):
-        totals = [daily[:i].sum(), daily[i:j].sum(), daily[j:].sum()]
-        s = sum(totals)
-        if s == 0:
-            continue
-        err = max(abs(t / s - p) / p for t, p in zip(totals, splits))
-        if err < best_score:
-            best_score, best = err, (i, j)
+    # prefix sums + broadcast over all (i, j) pairs: O(days²) instead of the
+    # reference's O(days³) pair loop (pathological on multi-year data)
+    csum = np.concatenate([[0.0], np.cumsum(daily)])
+    total = csum[-1]
+    best = None
+    if n_days >= 2 and total > 0:
+        I, J = np.triu_indices(n_days, k=1)
+        t0, t1, t2 = csum[I], csum[J] - csum[I], total - csum[J]
+        err = np.maximum.reduce([
+            np.abs(t / total - p) / p
+            for t, p in zip((t0, t1, t2), splits)])
+        k = int(err.argmin())
+        best = (int(I[k]), int(J[k]))
     i, j = best if best is not None else (max(n_days - 2, 0),
                                           max(n_days - 1, 1))
     split = np.zeros(len(df), dtype=np.int64)

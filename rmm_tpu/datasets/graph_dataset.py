@@ -161,7 +161,11 @@ class GraphTableDataset:
     SURVEY §1 L2)."""
 
     def __init__(self, edges: EdgeTable, nodes: NodeTable,
-                 edge_capacity: int = 4096, node_capacity: int = 4096):
+                 edge_capacity: int = 0, node_capacity: int = 0):
+        """``edge_capacity``/``node_capacity`` <= 0 means auto-calibrate on
+        first use (:meth:`calibrate_capacities`) — the reference keeps every
+        sampled edge (``ibm_transactions_for_aml.py:102-112``), so parity
+        requires caps sized to the actual neighborhood, not a fixed guess."""
         self.edges = edges
         self.nodes = nodes
         self.edge_capacity = edge_capacity
@@ -169,31 +173,83 @@ class GraphTableDataset:
         edges.materialize()
         nodes.materialize()
 
+    def calibrate_capacities(self, batch_size: int, n_probe: int = 4,
+                             safety: float = 1.5) -> tuple[int, int]:
+        """Size the static subgraph buffers from probe samples.
+
+        Draws ``n_probe`` random seed batches per split, measures the TRUE
+        sampled subgraph size (kept + dropped edges), and sets capacities to
+        ``safety`` × the observed max, rounded up to a multiple of 256 (XLA
+        retiles anyway; round shapes keep the compile cache small). Drops
+        observed during training are still counted and surfaced per epoch
+        (``drop_rate``)."""
+        g = self.graph
+        rng = np.random.RandomState(0)
+        B = max(int(batch_size), 1)
+        cap_e = cap_n = 1 << 16
+        need_e = need_n = 1
+        for mode in ("train", "test"):
+            for p in range(n_probe):
+                take = min(B, g.num_edges)
+                if take == 0:
+                    continue
+                idx = rng.choice(g.num_edges, size=take, replace=False)
+                seeds = np.stack([g.src[idx], g.dst[idx], idx], axis=1)
+                while True:
+                    try:
+                        sub = g.sample_edges(seeds, mode, cap_e, cap_n,
+                                             rng_seed=p + 1)
+                    except RuntimeError:   # node capacity exceeded
+                        cap_n *= 2
+                        continue
+                    if sub.num_dropped > 0:
+                        cap_e = 2 * (sub.num_edges + sub.num_dropped)
+                        continue
+                    break
+                need_e = max(need_e, sub.num_edges)
+                need_n = max(need_n, sub.num_nodes)
+
+        def rnd(x):
+            return max(256, -(-int(x * safety) // 256) * 256)
+
+        self.edge_capacity = max(rnd(need_e), B)
+        self.node_capacity = max(rnd(need_n), B)
+        return self.edge_capacity, self.node_capacity
+
+    def _ensure_caps(self, batch_size: int):
+        if self.edge_capacity <= 0 or self.node_capacity <= 0:
+            self.calibrate_capacities(batch_size)
+
     @property
     def graph(self) -> GraphStore:
         return self.edges.graph
 
     def sample_neighbors(self, seed_edges, mode="train"):
+        self._ensure_caps(len(seed_edges))
         return self.graph.sample_edges(seed_edges, mode, self.edge_capacity,
                                        self.node_capacity)
 
     def get_graph_inputs(self, batch_y, valid, mode="train",
                          rng_seed=None) -> GraphBatch:
+        self._ensure_caps(len(batch_y))
         return graph_inputs(batch_y, valid, self.graph, mode,
                             self.edge_capacity, self.node_capacity, rng_seed)
 
     def get_node_inputs(self, node_ids, y, valid, mode="train",
                         rng_seed=None) -> GraphBatch:
+        self._ensure_caps(len(node_ids))
         return node_inputs(node_ids, y, valid, self.graph, mode,
                            self.edge_capacity, self.node_capacity, rng_seed)
 
     def get_mcm_inputs(self, batch_y, valid, mode="train",
                        rng_seed=None) -> GraphBatch:
+        self._ensure_caps(len(batch_y))
         return mcm_inputs(batch_y, valid, self.graph, mode,
                           self.edge_capacity, self.node_capacity, rng_seed)
 
     def get_lp_inputs(self, batch_y, valid, mode="train", num_neg_samples=64,
                       rng_seed=None, neg_seed=0) -> GraphBatch:
+        self._ensure_caps(len(batch_y))
         return lp_inputs(batch_y, valid, self.graph, mode,
                          self.edge_capacity, self.node_capacity,
                          num_neg_samples, rng_seed, neg_seed)

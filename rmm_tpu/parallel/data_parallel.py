@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
@@ -29,19 +30,33 @@ def stack_batches(batches: list[GraphBatch]) -> GraphBatch:
         if xs[0] is not None else None, *batches)
 
 
+def _shmap(fn, **specs):
+    try:  # jax >= 0.8: check_vma; older: check_rep
+        return shard_map(fn, check_vma=False, **specs)
+    except TypeError:
+        return shard_map(fn, check_rep=False, **specs)
+
+
 def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
                        axis: str = "data"):
     """Build the jitted SPMD train step.
 
-    Signature: (variables, opt_state, stacked_batch, rngs[D]) →
-    (variables, opt_state, loss, aux) with replicated outputs.
-    """
+    Signature: (variables, opt_state, stacked_batch, rngs[D], real[D],
+    edge_table, node_table) → (variables, opt_state, loss, aux) with
+    replicated state. ``real`` marks chips whose batch is genuine: the
+    final ragged group of an epoch is padded with repeated batches, and a
+    plain pmean would give those duplicates full gradient weight — instead
+    gradients/loss/batch-stats are averaged over REAL chips only (the DP
+    analogue of the scan path's ``real``-flag update discard)."""
 
-    def per_chip(variables, opt_state, batch, rng, edge_table, node_table):
+    def per_chip(variables, opt_state, batch, rng, real, edge_table,
+                 node_table):
         # strip the leading per-chip axis added by shard_map
         batch = jax.tree_util.tree_map(
             lambda x: x[0] if x is not None else None, batch)
         rng = rng[0]
+        w = real[0].astype(jnp.float32)
+        denom = jax.lax.psum(w, axis)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -54,10 +69,12 @@ def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
 
         (loss, (aux, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(variables["params"])
-        # gradient + loss + batch-stat reduction over ICI
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
-        mutated = jax.lax.pmean(mutated, axis)
+        # real-weighted gradient + loss + batch-stat reduction over ICI
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, axis) / denom, grads)
+        loss = jax.lax.psum(loss * w, axis) / denom
+        mutated = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s * w, axis) / denom, mutated)
         # aux stays per-chip: out_specs concatenates along the data axis
         aux = jax.tree_util.tree_map(
             lambda x: x[None] if x.ndim == 0 else x, aux)
@@ -68,15 +85,32 @@ def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
         new_vars = {"params": params, **mutated}
         return new_vars, opt_state, loss, aux
 
-    specs = dict(
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(), P()),
-        out_specs=(P(), P(), P(), P(axis)),
-    )
-    try:  # jax >= 0.8: check_vma; older: check_rep
-        sharded = shard_map(per_chip, check_vma=False, **specs)
-    except TypeError:
-        sharded = shard_map(per_chip, check_rep=False, **specs)
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P(axis)))
+    return jax.jit(sharded)
+
+
+def make_dp_eval_step(model, loss_from_pred: Callable, mesh: Mesh,
+                      axis: str = "data"):
+    """Forward-only SPMD step: each chip evaluates its own batch; aux comes
+    back stacked along the data axis (padded chips are masked by their
+    zeroed ``seed_mask`` host-side)."""
+
+    def per_chip(variables, batch, edge_table, node_table):
+        batch = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, batch)
+        out = model.apply(variables, edge_table, node_table, batch, False)
+        loss, aux = loss_from_pred(out, batch)
+        aux = jax.tree_util.tree_map(
+            lambda x: x[None] if x.ndim == 0 else x, aux)
+        return loss[None], aux
+
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)))
     return jax.jit(sharded)
 
 

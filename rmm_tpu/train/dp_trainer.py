@@ -3,11 +3,16 @@
 Extends :class:`~rmm_tpu.train.trainer.Trainer` so multi-chip training is a
 drop-in (``--dp`` on the CLI): each step samples one subgraph minibatch per
 chip, stacks them, and runs the shard_map DP step (grads + batch-stats
-pmean over ICI, :mod:`rmm_tpu.parallel.data_parallel`). Evaluation runs
-single-chip (replicated params).
+averaged over REAL chips via ICI collectives,
+:mod:`rmm_tpu.parallel.data_parallel`). The ragged final group is padded
+with repeated batches whose seed_masks are zeroed and whose gradients are
+excluded from the reduction (``real`` flags), so epoch-end duplicates get
+zero weight — matching the single-chip scan path. Evaluation is also
+data-parallel (one forward per chip per group).
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Optional
 
@@ -16,14 +21,21 @@ import numpy as np
 
 from ..parallel import (
     Prefetcher,
+    make_dp_eval_step,
     make_dp_train_step,
     make_mesh,
     shard_batch,
     stack_batches,
 )
 from ..utils.config import Config
-from ..utils.metric import f1_score
+from ..utils.metric import f1_score, roc_auc
 from .trainer import Trainer
+
+
+def _zero_mask_copy(gb):
+    """Padding batch: same arrays, but no real seed rows (masks both the
+    loss and the epoch metrics)."""
+    return dataclasses.replace(gb, seed_mask=np.zeros_like(gb.seed_mask))
 
 
 class DataParallelTrainer(Trainer):
@@ -34,24 +46,35 @@ class DataParallelTrainer(Trainer):
         self.n_chips = int(self.mesh.devices.size)
         self._dp_step = make_dp_train_step(self.model, self.tx,
                                            self._loss_from_pred, self.mesh)
+        self._dp_eval = make_dp_eval_step(self.model, self._loss_from_pred,
+                                          self.mesh)
+
+    def _pad_group(self, pending):
+        """Pad a ragged group to D with zero-masked repeats; returns the
+        real-flag vector."""
+        n_real = len(pending)
+        real = np.arange(self.n_chips) < n_real
+        while len(pending) < self.n_chips:
+            pending.append(_zero_mask_copy(pending[-1]))
+        return real
 
     def train_epoch(self, view, epoch: int) -> dict:
         cfg = self.cfg
         t0 = time.time()
         D = self.n_chips
         losses, aux_list, seed_masks = [], [], []
+        dropped = kept = 0
         pending = []
 
         def flush():
             if not pending:
                 return
-            while len(pending) < D:  # pad final group with repeats
-                pending.append(pending[-1])
+            real = self._pad_group(pending)
             stacked = shard_batch(self.mesh, stack_batches(pending))
             self.rng, k = jax.random.split(self.rng)
             rngs = jax.random.split(k, D)
             (self.variables, self.opt_state, loss, aux) = self._dp_step(
-                self.variables, self.opt_state, stacked, rngs,
+                self.variables, self.opt_state, stacked, rngs, real,
                 self.edge_table, self.node_table)
             losses.append(loss)
             aux_list.append(aux)
@@ -59,15 +82,17 @@ class DataParallelTrainer(Trainer):
                 np.stack([g.seed_mask for g in pending]).reshape(-1))
             pending.clear()
 
-        for gb in Prefetcher(self._batches(view, "train"), depth=2 * D,
-                             device_put=False):
+        for gb in Prefetcher(self._batches(view, "train", epoch),
+                             depth=2 * D, device_put=False):
+            dropped += gb.num_dropped
+            kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == D:
                 flush()
         flush()
 
         total_loss = float(np.mean([float(l) for l in losses]))
-        preds, labels = [], []
+        preds, labels, scores = [], [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
         for aux, mask in zip(aux_list, seed_masks):
             if "mcm" in cfg.task:
@@ -77,8 +102,11 @@ class DataParallelTrainer(Trainer):
                 m = np.asarray(mask).reshape(-1)
                 preds.append(np.asarray(aux["pred_cls"]).reshape(-1)[m])
                 labels.append(np.asarray(aux["labels"]).reshape(-1)[m])
+                if "score" in aux:
+                    scores.append(np.asarray(aux["score"]).reshape(-1)[m])
         out = {"loss": total_loss, "sec": time.time() - t0,
-               "chips": self.n_chips}
+               "chips": self.n_chips,
+               "drop_rate": dropped / max(dropped + kept, 1)}
         if "mcm" in cfg.task:
             out["train_rmse"] = float(
                 np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1)))
@@ -87,4 +115,55 @@ class DataParallelTrainer(Trainer):
             avg = "binary" if cfg.n_classes == 2 else "weighted"
             out["f1"] = f1_score(np.concatenate(labels),
                                  np.concatenate(preds), avg)
+            if scores:
+                out["auc"] = roc_auc(np.concatenate(labels),
+                                     np.concatenate(scores))
+        return out
+
+    def evaluate(self, view, mode: str):
+        """Data-parallel evaluation: D forwards per dispatch; padded chips
+        contribute nothing (zeroed seed_mask filters them out of both MCM
+        counts and the pred/label gather)."""
+        cfg = self.cfg
+        preds, labels, scores = [], [], []
+        mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        results = []
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            self._pad_group(pending)
+            stacked = shard_batch(self.mesh, stack_batches(pending))
+            _, aux = self._dp_eval(self.variables, stacked,
+                                   self.edge_table, self.node_table)
+            results.append(
+                (aux, np.stack([g.seed_mask for g in pending]).reshape(-1)))
+            pending.clear()
+
+        for gb in self._batches(view, mode):
+            pending.append(gb)
+            if len(pending) == self.n_chips:
+                flush()
+        flush()
+
+        for aux, mask in results:
+            if "mcm" in cfg.task:
+                for k in mcm:
+                    mcm[k] += float(np.asarray(aux[k]).sum())
+            else:
+                m = np.asarray(mask).reshape(-1)
+                preds.append(np.asarray(aux["pred_cls"]).reshape(-1)[m])
+                labels.append(np.asarray(aux["labels"]).reshape(-1)[m])
+                if "score" in aux:
+                    scores.append(np.asarray(aux["score"]).reshape(-1)[m])
+        if "mcm" in cfg.task:
+            return [float(np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1))),
+                    mcm["acc"] / max(mcm["t_c"], 1)]
+        avg = "binary" if cfg.n_classes == 2 else "weighted"
+        out = {"f1": f1_score(np.concatenate(labels), np.concatenate(preds),
+                              avg)}
+        if scores:
+            out["auc"] = roc_auc(np.concatenate(labels),
+                                 np.concatenate(scores))
         return out

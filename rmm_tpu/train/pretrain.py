@@ -30,6 +30,7 @@ from ..utils.batch import GraphBatch
 from ..utils.config import Config
 from ..utils.loss import SSLoss
 from ..utils.metric import MCMAccumulator, SSMetric
+from ..utils.seeding import mix_seed
 from .task_models import gather_rows
 
 logger = logging.getLogger(__name__)
@@ -72,8 +73,13 @@ class PretrainModel:
         ones = jnp.ones((n, 1), jnp.float32)
         if self.cfg.ego:
             b = batch.num_seeds
+            # only REAL seed lanes mark egos — padded tail lanes repeat the
+            # last real row and must not pollute shared-subgraph features
+            # (scatter-max so a fake 0 never clears a real 1)
+            vals = jnp.broadcast_to(
+                batch.seed_mask.astype(jnp.float32)[None, :], (2, b))
             ego = jnp.zeros((n,), jnp.float32).at[
-                batch.edge_index[:, :b].reshape(-1)].set(1.0)
+                batch.edge_index[:, :b]].max(vals)
             return jnp.concatenate([ones, ego[:, None]], axis=1)
         return ones
 
@@ -177,6 +183,8 @@ class PretrainTrainer:
 
     def __init__(self, cfg: Config, dataset, mode: str = "mcm-lp"):
         assert mode in ("mcm", "lp", "mcm-lp")
+        from .trainer import resolve_capacities
+        cfg = resolve_capacities(cfg, dataset)
         self.cfg = cfg
         self.mode = mode
         self.pm = PretrainModel(cfg, dataset)
@@ -303,14 +311,21 @@ class PretrainTrainer:
         return losses, aux
 
     # ------------------------------------------------------------------
-    def _batches(self, view, mode_name: str):
+    def _batches(self, view, mode_name: str, epoch: int = 0):
+        """Per-epoch reshuffle + fresh subgraphs/negatives: the epoch index
+        is mixed into the loader seed, the sampler seed AND the negative-
+        sampling seed (explicit seeds also keep threaded sampling
+        deterministic — the stateful-counter fallback did not)."""
         cfg = self.cfg
         loader = DataLoader(view.tensor_frame, cfg.batch_size,
-                            shuffle=(mode_name == "train"), seed=cfg.seed)
+                            shuffle=(mode_name == "train"),
+                            seed=mix_seed(cfg.seed, epoch))
         for i, (tf, valid) in enumerate(loader):
             yield self.dataset.get_lp_inputs(
                 np.asarray(tf.y), valid, mode_name,
-                num_neg_samples=cfg.num_neg_samples, neg_seed=i)
+                num_neg_samples=cfg.num_neg_samples,
+                rng_seed=mix_seed(cfg.seed, epoch, i, 1),
+                neg_seed=mix_seed(cfg.seed, epoch, i, 2))
 
     def train_epoch(self, view, epoch: int) -> dict:
         from ..parallel.prefetch import Prefetcher
@@ -345,8 +360,11 @@ class PretrainTrainer:
                 results.append((losses[:n_real], auxes, n_real))
             pending.clear()
 
-        for gb in Prefetcher(self._batches(view, "train"),
+        dropped = kept = 0
+        for gb in Prefetcher(self._batches(view, "train", epoch),
                              depth=max(2 * K, 2), device_put=False):
+            dropped += gb.num_dropped
+            kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == K:
                 flush()
@@ -365,7 +383,13 @@ class PretrainTrainer:
                 if key in aux:
                     v = np.asarray(aux[key])
                     mcm[key] += float(v[:n_real].sum() if v.ndim else v)
-        out = {"loss": tot / max(cnt, 1), "sec": time.time() - t0}
+        out = {"loss": tot / max(cnt, 1), "sec": time.time() - t0,
+               "drop_rate": dropped / max(dropped + kept, 1)}
+        if out["drop_rate"] > self.cfg.max_drop_rate:
+            logger.warning(
+                "sampler dropped %.2f%% of sampled edges at "
+                "edge_capacity=%d — raise --edge_capacity",
+                100 * out["drop_rate"], self.cfg.edge_capacity)
         if "mcm" in self.mode:
             out["train_loss_c"] = mcm["loss_c"] / max(mcm["t_c"], 1)
             out["train_loss_n"] = mcm["loss_n"] / max(mcm["t_n"], 1)

@@ -90,15 +90,18 @@ class TabularMCMTrainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
-    def _loader(self, view, shuffle):
+    def _loader(self, view, shuffle, epoch: int = 0):
+        from ..utils.seeding import mix_seed
+
         return DataLoader(view.tensor_frame, self.cfg.batch_size,
-                          shuffle=shuffle, seed=self.cfg.seed)
+                          shuffle=shuffle,
+                          seed=mix_seed(self.cfg.seed, epoch))
 
     def train_epoch(self, view, epoch: int) -> dict:
         t0 = time.time()
         tot = cnt = 0.0
         agg = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
-        for tf, valid in self._loader(view, True):
+        for tf, valid in self._loader(view, True, epoch):
             mask = np.zeros(self.cfg.batch_size, bool)
             mask[:valid] = True
             self.rng, k = jax.random.split(self.rng)

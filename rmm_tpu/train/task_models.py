@@ -51,17 +51,27 @@ def gather_rows(tf: TensorFrame, ids) -> TensorFrame:
 
 
 def apply_ego(tf: TensorFrame, seed_edge_index, num_nodes: int,
-              col_name: str = "ego") -> TensorFrame:
+              col_name: str = "ego", seed_mask=None) -> TensorFrame:
     """Overwrite the ``ego`` relation column with a seed-incidence
-    indicator, computed in-jit (reference ``add_EgoIDs``)."""
+    indicator, computed in-jit (reference ``add_EgoIDs``).
+
+    ``seed_mask`` [B] excludes padded tail lanes (copies of the last real
+    row) so fake seeds never mark ego nodes for real rows sharing the
+    subgraph; scatter-max so a fake 0 can't clear a real 1."""
     if Stype.relation not in tf.col_names:
         return tf
     names = list(tf.col_names[Stype.relation])
     if col_name not in names:
         return tf
     idx = names.index(col_name)
-    flags = jnp.zeros((num_nodes,), dtype=tf.feats[Stype.relation].dtype)
-    flags = flags.at[seed_edge_index.reshape(-1)].set(1.0)
+    dtype = tf.feats[Stype.relation].dtype
+    flags = jnp.zeros((num_nodes,), dtype=dtype)
+    if seed_mask is None:
+        flags = flags.at[seed_edge_index.reshape(-1)].set(1.0)
+    else:
+        vals = jnp.broadcast_to(seed_mask.astype(dtype)[None, :],
+                                seed_edge_index.shape)
+        flags = flags.at[seed_edge_index].max(vals)
     rel = tf.feats[Stype.relation].at[:, idx].set(flags)
     feats = dict(tf.feats)
     feats[Stype.relation] = rel
@@ -158,7 +168,8 @@ class GNNWrap(nn.Module):
         node_tf = gather_rows(node_table, batch.node_gather)
         if self.ego:
             node_tf = apply_ego(node_tf, batch.edge_index[:, :b],
-                                batch.node_gather.shape[0])
+                                batch.node_gather.shape[0],
+                                seed_mask=batch.seed_mask)
         x_tok, _ = self.node_encoder(node_tf)
         edge_tf = gather_rows(edge_table, batch.edge_gather)
         e_tok, _ = self.edge_encoder(edge_tf)
@@ -217,7 +228,8 @@ class TABGNNS(nn.Module):
         node_tf = gather_rows(node_table, batch.node_gather)
         if self.ego:
             node_tf = apply_ego(node_tf, batch.edge_index[:, :b],
-                                batch.node_gather.shape[0])
+                                batch.node_gather.shape[0],
+                                seed_mask=batch.seed_mask)
         x_tok, _ = self.node_encoder(node_tf)
         edge_tf = gather_rows(edge_table, batch.edge_gather)
         e_tok, _ = self.edge_encoder(edge_tf)
@@ -284,7 +296,8 @@ class TABGNNFusedS(nn.Module):
         node_tf = gather_rows(node_table, batch.node_gather)
         if self.ego:
             node_tf = apply_ego(node_tf, batch.edge_index[:, :b],
-                                batch.node_gather.shape[0])
+                                batch.node_gather.shape[0],
+                                seed_mask=batch.seed_mask)
         x_tok, _ = self.node_encoder(node_tf)
         edge_tf = gather_rows(edge_table, batch.edge_gather)
         e_tok_all, _ = self.edge_encoder(edge_tf)

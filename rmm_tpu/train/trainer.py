@@ -23,7 +23,8 @@ from ..nn.encoders import make_stypewise_encoder
 from ..utils.batch import GraphBatch
 from ..utils.config import Config
 from ..utils.loss import SSLoss, cross_entropy
-from ..utils.metric import f1_score
+from ..utils.metric import f1_score, roc_auc
+from ..utils.seeding import mix_seed
 from . import task_models
 
 logger = logging.getLogger(__name__)
@@ -68,10 +69,32 @@ def build_task_model(cfg: Config, dataset):
     raise ValueError(f"Invalid model name: {cfg.model}")
 
 
+def resolve_capacities(cfg: Config, dataset) -> Config:
+    """Agree on static subgraph capacities between config and dataset.
+
+    Explicit cfg values win; otherwise the dataset's (possibly
+    auto-calibrated) capacities are adopted — the trainer needs them up
+    front to shape the dummy batch the train step compiles against."""
+    if cfg.edge_capacity > 0 and cfg.node_capacity > 0:
+        dataset.edge_capacity = cfg.edge_capacity
+        dataset.node_capacity = cfg.node_capacity
+        return cfg
+    if dataset.edge_capacity <= 0 or dataset.node_capacity <= 0:
+        ec, nc = dataset.calibrate_capacities(cfg.batch_size)
+        logger.info("auto-calibrated capacities: edge=%d node=%d", ec, nc)
+    if cfg.edge_capacity > 0:      # keep a partial explicit override
+        dataset.edge_capacity = cfg.edge_capacity
+    if cfg.node_capacity > 0:
+        dataset.node_capacity = cfg.node_capacity
+    return cfg.replace(edge_capacity=dataset.edge_capacity,
+                       node_capacity=dataset.node_capacity)
+
+
 class Trainer:
     """Supervised / MCM trainer over graph datasets (the ``main.py`` path)."""
 
     def __init__(self, cfg: Config, dataset, freeze_tabular: bool = False):
+        cfg = resolve_capacities(cfg, dataset)
         self.cfg = cfg
         self.dataset = dataset
         self.model = build_task_model(cfg, dataset)
@@ -146,6 +169,8 @@ class Trainer:
         loss = cross_entropy(pred, labels,
                              jnp.asarray(cfg.loss_weights), batch.seed_mask)
         aux = {"pred_cls": jnp.argmax(pred, axis=-1), "labels": labels}
+        if cfg.n_classes == 2:   # positive-class probability, for AUC
+            aux["score"] = jax.nn.softmax(pred, axis=-1)[:, 1]
         return loss, aux
 
     def _step(self, variables, opt_state, batch: GraphBatch, rng,
@@ -210,18 +235,24 @@ class Trainer:
         return losses, auxes
 
     # ------------------------------------------------------------------
-    def _batches(self, view, mode: str):
-        """Yield GraphBatches for a split view (edge-seeded tasks)."""
+    def _batches(self, view, mode: str, epoch: int = 0):
+        """Yield GraphBatches for a split view (edge-seeded tasks).
+
+        The epoch index is mixed into the shuffle seed AND every per-batch
+        sampler seed, so each epoch sees a fresh permutation and fresh k-hop
+        subgraphs (reference ``main.py:288`` shuffle semantics) while
+        threaded sampling stays order-independent."""
         cfg = self.cfg
         loader = DataLoader(view.tensor_frame, cfg.batch_size,
-                            shuffle=(mode == "train"), seed=cfg.seed)
+                            shuffle=(mode == "train"),
+                            seed=mix_seed(cfg.seed, epoch))
         ignore = getattr(self.dataset, "ignore_label", None)
 
         def build(item):
             i, tf, valid = item
             # deterministic per-batch sampler seed (also makes threaded
             # sampling order-independent)
-            seed = (cfg.seed * 1_000_003 + i * 97) & 0x7FFFFFFF
+            seed = mix_seed(cfg.seed, epoch, i)
             if "node" in cfg.task:
                 y = np.asarray(tf.y)
                 ids = y[:, 1].astype(np.int64)
@@ -255,7 +286,9 @@ class Trainer:
         cfg = self.cfg
         t0 = time.time()
         losses = []           # device scalars; converted once at epoch end
+        loss_counts = []      # real steps behind each entry
         seed_masks, aux_list = [], []
+        dropped = kept = 0    # sampler truncation telemetry
         K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
         pending: list[GraphBatch] = []
 
@@ -269,6 +302,7 @@ class Trainer:
                     self.variables, self.opt_state, pending[0], k,
                     self.edge_table, self.node_table)
                 losses.append(loss)
+                loss_counts.append(1)
                 aux_list.append(aux)
                 seed_masks.append(pending[0].seed_mask)
             else:
@@ -277,23 +311,29 @@ class Trainer:
                     *pending)
                 real = np.arange(len(pending)) < n_real
                 masks = np.stack([g.seed_mask for g in pending])
-                masks[~real] = False
                 self.rng, k = jax.random.split(self.rng)
                 rngs = jax.random.split(k, len(pending))
                 (self.variables, self.opt_state, ls,
                  auxes) = self._scan_step(
                     self.variables, self.opt_state, stacked, rngs, real,
                     self.edge_table, self.node_table)
-                losses.append(ls[:n_real].mean())
-                aux_list.append(auxes)
-                seed_masks.append(masks.reshape(-1))
+                # keep only the real steps' loss/aux — the padded copies of
+                # the final batch would double-count its rows in the epoch
+                # metrics otherwise
+                losses.append(ls[:n_real].sum())
+                loss_counts.append(n_real)
+                aux_list.append(jax.tree_util.tree_map(
+                    lambda a: a[:n_real], auxes))
+                seed_masks.append(masks[:n_real].reshape(-1))
             pending.clear()
 
         from ..parallel.prefetch import Prefetcher
 
-        batch_iter = Prefetcher(self._batches(view, "train"),
+        batch_iter = Prefetcher(self._batches(view, "train", epoch),
                                 depth=max(2 * K, 2), device_put=False)
         for gb in batch_iter:
+            dropped += gb.num_dropped
+            kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == K:
                 flush()
@@ -308,9 +348,10 @@ class Trainer:
             flush(n_real)
 
         # single host sync for the whole epoch
-        total_loss = float(np.mean([float(l) for l in losses]))
-        n_batches = len(losses)
-        preds, labels = [], []
+        total_loss = float(np.sum([float(l) for l in losses])
+                           / max(sum(loss_counts), 1))
+        n_batches = sum(loss_counts)
+        preds, labels, scores = [], [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
         for aux, mask in zip(aux_list, seed_masks):
             if "mcm" in cfg.task:
@@ -320,7 +361,16 @@ class Trainer:
                 m = np.asarray(mask).reshape(-1)
                 preds.append(np.asarray(aux["pred_cls"]).reshape(-1)[m])
                 labels.append(np.asarray(aux["labels"]).reshape(-1)[m])
-        out = {"loss": total_loss, "sec": time.time() - t0}
+                if "score" in aux:
+                    scores.append(np.asarray(aux["score"]).reshape(-1)[m])
+        out = {"loss": total_loss, "sec": time.time() - t0,
+               "drop_rate": dropped / max(dropped + kept, 1)}
+        if out["drop_rate"] > cfg.max_drop_rate:
+            logger.warning(
+                "sampler dropped %.2f%% of sampled edges at "
+                "edge_capacity=%d — raise --edge_capacity (the reference "
+                "keeps every sampled edge; parity needs ~zero drops)",
+                100 * out["drop_rate"], cfg.edge_capacity)
         if "mcm" in cfg.task:
             out["train_rmse"] = float(
                 np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1)))
@@ -329,11 +379,14 @@ class Trainer:
             avg = "binary" if cfg.n_classes == 2 else "weighted"
             out["f1"] = f1_score(np.concatenate(labels),
                                  np.concatenate(preds), avg)
+            if scores:
+                out["auc"] = roc_auc(np.concatenate(labels),
+                                     np.concatenate(scores))
         return out
 
     def evaluate(self, view, mode: str) -> Any:
         cfg = self.cfg
-        preds, labels = [], []
+        preds, labels, scores = [], [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
         results = []  # (aux, seed_mask) pairs; device arrays stay async
         K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
@@ -374,11 +427,18 @@ class Trainer:
                 m = np.asarray(mask)
                 preds.append(np.asarray(aux["pred_cls"])[m])
                 labels.append(np.asarray(aux["labels"])[m])
+                if "score" in aux:
+                    scores.append(np.asarray(aux["score"])[m])
         if "mcm" in cfg.task:
             return [float(np.sqrt(mcm["loss_n"] / max(mcm["t_n"], 1))),
                     mcm["acc"] / max(mcm["t_c"], 1)]
         avg = "binary" if cfg.n_classes == 2 else "weighted"
-        return f1_score(np.concatenate(labels), np.concatenate(preds), avg)
+        out = {"f1": f1_score(np.concatenate(labels), np.concatenate(preds),
+                              avg)}
+        if scores:
+            out["auc"] = roc_auc(np.concatenate(labels),
+                                 np.concatenate(scores))
+        return out
 
     # ------------------------------------------------------------------
     def fit(self, run_logger=None, run_dir: Optional[str] = None,
@@ -409,9 +469,12 @@ class Trainer:
                                                or best_m[1] == 1):
                     best_m, improved = val_m, True
             else:
-                rec.update({"val_f1": val_m, "test_f1": te_m})
-                if val_m > best_m:
-                    best_m, improved = val_m, True
+                rec.update({"val_f1": val_m["f1"], "test_f1": te_m["f1"]})
+                if "auc" in val_m:
+                    rec.update({"val_auc": val_m["auc"],
+                                "test_auc": te_m["auc"]})
+                if val_m["f1"] > best_m:
+                    best_m, improved = val_m["f1"], True
             rec["best"] = improved
             logger.info(" ".join(f"{k}={v:.4f}" if isinstance(v, float)
                                  else f"{k}={v}" for k, v in rec.items()))

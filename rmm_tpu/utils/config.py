@@ -36,8 +36,9 @@ class Config:
     split_type: str = "temporal_daily"
     splits: Sequence[float] = (0.6, 0.2, 0.2)
     num_neighs: Sequence[int] = (100, 100)
-    edge_capacity: int = 4096
-    node_capacity: int = 4096
+    edge_capacity: int = 0            # 0 = auto-calibrate from probe batches
+    node_capacity: int = 0
+    max_drop_rate: float = 0.0        # warn when epoch drop-rate exceeds this
 
     # optimization (AML supervised config of record, main.py:161-190)
     lr: float = 0.0006116418195373612
@@ -105,8 +106,10 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_dir", default="wandb/", type=str)
     p.add_argument("--group", default="null", type=str)
     p.add_argument("--task", default="edge_classification", type=str)
-    p.add_argument("--edge_capacity", default=4096, type=int)
-    p.add_argument("--node_capacity", default=4096, type=int)
+    p.add_argument("--edge_capacity", default=0, type=int,
+                   help="static subgraph edge buffer (0 = auto-calibrate)")
+    p.add_argument("--node_capacity", default=0, type=int,
+                   help="static subgraph node buffer (0 = auto-calibrate)")
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--dropout", default=None, type=float)
     p.add_argument("--dp", default=0, type=int,

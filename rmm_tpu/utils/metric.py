@@ -37,6 +37,27 @@ def f1_score(y_true, y_pred, average: str = "binary") -> float:
     raise ValueError(average)
 
 
+def roc_auc(y_true, scores) -> float:
+    """Binary ROC-AUC via the rank statistic (Mann-Whitney U), with
+    tie-averaged ranks — matches sklearn.roc_auc_score. Part of the
+    BASELINE north star ("parity F1/AUC"); the reference itself computes
+    only F1 (``main.py:94-97``)."""
+    y = np.asarray(y_true).reshape(-1)
+    s = np.asarray(scores).reshape(-1).astype(np.float64)
+    n_pos = int((y == 1).sum())
+    n_neg = len(y) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(s, kind="mergesort")
+    _, inv, counts = np.unique(s[order], return_inverse=True,
+                               return_counts=True)
+    avg_rank = np.cumsum(counts) - (counts - 1) / 2.0
+    ranks = np.empty(len(s), dtype=np.float64)
+    ranks[order] = avg_rank[inv]
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
 class SSMetric:
     """Self-supervised metrics (``src/utils/metric.py:6-66``)."""
 
@@ -73,18 +94,26 @@ class MCMAccumulator:
         self.t_n = 0
 
     def update(self, cat_out, num_out, y, valid=None):
+        # vectorized: one gather per numerical block + one argmax per
+        # categorical head (no per-row Python loop — the eval path stays
+        # array-speed even at 100k+ rows)
         y = np.asarray(y)
-        num_out = np.asarray(num_out)
         n = len(y) if valid is None else int(valid)
-        for i in range(n):
-            val, idx = y[i, 0], int(y[i, 1])
-            if idx >= self.num_numerical:
-                logits = np.asarray(cat_out[idx - self.num_numerical])[i]
-                self.acc_sum += float(logits.argmax() == int(val))
-                self.t_c += 1
-            else:
-                self.l2_sum += float((val - num_out[i, idx]) ** 2)
-                self.t_n += 1
+        y = y[:n]
+        val = y[:, 0]
+        idx = y[:, 1].astype(int)
+        num_rows = np.nonzero(idx < self.num_numerical)[0]
+        if len(num_rows):
+            pred = np.asarray(num_out)[num_rows, idx[num_rows]]
+            self.l2_sum += float(((val[num_rows] - pred) ** 2).sum())
+            self.t_n += len(num_rows)
+        for c, logits in enumerate(cat_out):
+            rows = np.nonzero(idx == self.num_numerical + c)[0]
+            if not len(rows):
+                continue
+            pred_cls = np.asarray(logits)[rows].argmax(axis=1)
+            self.acc_sum += float((pred_cls == val[rows].astype(int)).sum())
+            self.t_c += len(rows)
 
     @property
     def accuracy(self) -> float:
