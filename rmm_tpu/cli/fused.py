@@ -58,6 +58,8 @@ def build_parser():
 def main(argv=None):
     from ..utils.jaxenv import setup as _jax_setup
     _jax_setup()
+    from ..parallel.distributed import maybe_init_distributed
+    maybe_init_distributed()
     args = build_parser().parse_args(argv)
     logger_setup()
     cfg = Config(

@@ -22,11 +22,16 @@ from ..train.trainer import Trainer
 def main(argv=None):
     from ..utils.jaxenv import setup as _jax_setup
     _jax_setup()
+    from ..parallel.distributed import is_primary, maybe_init_distributed
+    multi_host = maybe_init_distributed()
     parser = create_parser()
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     logger_setup()
     logging.info(cfg.to_json())
+    if multi_host and not is_primary():
+        # secondary hosts train but don't own wandb/checkpoints
+        cfg = cfg.replace(testing=True, save_model=False)
 
     start_epoch, run_id, best_m = 0, None, None
     if cfg.checkpoint and cfg.load_model:
@@ -70,7 +75,8 @@ def main(argv=None):
         cfg.wandb_dir, f"run_{os.getpid()}")
     rl = RunLogger(run_dir, config=__import__("json").loads(cfg.to_json()),
                    use_wandb=not cfg.testing, run_id=run_id, group=cfg.group)
-    history, best = trainer.fit(rl, run_dir, start_epoch, best_m)
+    ckpt_dir = run_dir if (not multi_host or is_primary()) else None
+    history, best = trainer.fit(rl, ckpt_dir, start_epoch, best_m)
     rl.close()
     return history, best
 

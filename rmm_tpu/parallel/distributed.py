@@ -39,3 +39,30 @@ def global_batch_slice(total: int) -> slice:
     i = jax.process_index()
     per = total // n
     return slice(i * per, (i + 1) * per)
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) — (0, 1) single-host."""
+    try:
+        return jax.process_index(), jax.process_count()
+    except RuntimeError:   # backend not initialized yet
+        return 0, 1
+
+
+def is_primary() -> bool:
+    """True on the host that owns logging/checkpointing."""
+    return process_info()[0] == 0
+
+
+def shard_stream(enumerated, process_index: int, process_count: int):
+    """Round-robin shard an enumerated batch stream across hosts.
+
+    Keeps the GLOBAL batch index attached to each item so per-batch sampler
+    seeds stay a function of (seed, epoch, global index) — the data a batch
+    sees never depends on how many hosts consumed the stream."""
+    if process_count <= 1:
+        yield from enumerated
+        return
+    for item in enumerated:
+        if item[0] % process_count == process_index:
+            yield item

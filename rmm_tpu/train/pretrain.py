@@ -320,7 +320,14 @@ class PretrainTrainer:
         loader = DataLoader(view.tensor_frame, cfg.batch_size,
                             shuffle=(mode_name == "train"),
                             seed=mix_seed(cfg.seed, epoch))
-        for i, (tf, valid) in enumerate(loader):
+        items = enumerate(loader)
+        if mode_name == "train":
+            from ..parallel.distributed import process_info, shard_stream
+
+            pidx, pcount = process_info()
+            items = shard_stream(
+                ((i, tfv) for i, tfv in items), pidx, pcount)
+        for i, (tf, valid) in items:
             yield self.dataset.get_lp_inputs(
                 np.asarray(tf.y), valid, mode_name,
                 num_neg_samples=cfg.num_neg_samples,

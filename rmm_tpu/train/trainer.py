@@ -272,6 +272,14 @@ class Trainer:
 
         items = ((i, tf, valid)
                  for i, (tf, valid) in enumerate(loader))
+        if mode == "train":
+            # multi-host: each process trains on its round-robin share of
+            # the global batch stream (eval stays replicated — every host
+            # computes the full metric; SURVEY §2.3 DCN row)
+            from ..parallel.distributed import process_info, shard_stream
+
+            pidx, pcount = process_info()
+            items = shard_stream(items, pidx, pcount)
         threads = int(getattr(cfg, "sampler_threads", 1))
         if threads > 1:
             from ..parallel.parallel_sampler import ParallelBatchIterator
