@@ -1,11 +1,24 @@
-"""Benchmark: TensorFrame encode + FTTransformer forward, rows/sec/chip.
+"""Benchmark: end-to-end supervised encode+TRAIN throughput, rows/sec/chip.
 
-The north-star metric of BASELINE.json: the reference's hot path is
-per-batch stype encoding + column-transformer forward; the rebuild streams
-device-resident column tensors through a single jitted encode+forward
-program. ``value`` is steady-state rows/sec on the current accelerator;
-``vs_baseline`` is the speedup over the same jitted program on one CPU host
-(the reference's CPU baseline; the north star is ≥10×).
+The north-star metric of BASELINE.json ("end-to-end encode+train"): one
+fully-jitted supervised train step on the config-of-record supervised model
+(TABGNN: stype encode → column transformer → PNA message passing → head →
+loss → grads → adam update), k-hop sampler in the loop.
+
+Three measurements (all reported in the single JSON line):
+  * ``value``        — device train-step throughput: seed rows/s through
+                       the jitted multi-step scan, slope method (t[K]−t[1]
+                       removes the dispatch+sync intercept, which through a
+                       TPU tunnel would otherwise dominate);
+  * ``sampler_rows_per_sec`` — host C++ k-hop sampler throughput;
+  * ``e2e_rows_per_sec``     — one real overlapped epoch (threaded sampler
+                       + prefetch + scan dispatch), wall clock;
+  * ``fwd_rows_per_sec``     — the round-1 encode+forward metric, kept for
+                       continuity;
+  * ``mfu``          — model FLOPs (XLA cost analysis) / step time / peak.
+
+``vs_baseline`` is the train-step speedup over the same jitted program on
+one CPU host (the reference's CPU baseline; north star ≥10×).
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -26,15 +39,19 @@ try:  # persistent compile cache (cold compiles cost minutes via the relay)
 except Exception:
     pass
 
-ROWS = 1 << 17          # 131072 rows in the table
-BATCH = 8192            # rows per forward
-CHANNELS = 128          # SSL config of record (fused.py:626-630)
-LAYERS = 3
-WARMUP = 10
-ITERS = 200
+ROWS = 1 << 17          # synthetic AML table rows
+FWD_BATCH = 8192
+FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
+FWD_LAYERS = 3
+TRAIN_K = 33            # scan steps per dispatch for the slope method
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
-def build(rows: int):
+# ---------------------------------------------------------------------------
+# encode+forward (round-1 metric, kept for continuity)
+# ---------------------------------------------------------------------------
+
+def build_fwd(rows: int):
     import jax
     import numpy as np
 
@@ -55,8 +72,8 @@ def build(rows: int):
         target_col="Is Laundering",
     ).materialize()
 
-    enc = make_stypewise_encoder(ds, CHANNELS)
-    model = FTTransformer(CHANNELS, LAYERS)
+    enc = make_stypewise_encoder(ds, FWD_CHANNELS)
+    model = FTTransformer(FWD_CHANNELS, FWD_LAYERS)
     table = jax.device_put(ds.tensor_frame)
     key = jax.random.PRNGKey(0)
 
@@ -68,40 +85,35 @@ def build(rows: int):
         x, x_cls = model.apply(params["model"], tokens)
         return x_cls.sum()
 
-    idx0 = jnp.arange(BATCH)
-    sub0 = ds.tensor_frame[np.arange(BATCH)]
+    idx0 = jnp.arange(FWD_BATCH)
+    sub0 = ds.tensor_frame[np.arange(FWD_BATCH)]
     params = {
         "enc": enc.init(key, jax.device_put(sub0)),
-        "model": model.init(key, jnp.zeros((BATCH, 6, CHANNELS))),
+        "model": model.init(key, jnp.zeros((FWD_BATCH, 6, FWD_CHANNELS))),
     }
     return jax.jit(fwd), params, table, idx0
 
 
-def measure(iters: int = ITERS, rows: int = ROWS) -> float:
+def measure_fwd(iters: int = 200, rows: int = ROWS) -> float:
     import jax
     import jax.numpy as jnp
 
-    fwd, params, table, idx0 = build(rows)
+    fwd, params, table, idx0 = build_fwd(rows)
     if os.environ.get("BENCH_BF16"):
-        # serving precision: bf16 params/tables, f32 accumulation in matmuls
         from rmm_tpu.utils.precision import cast_floats
 
         params = cast_floats(params, jnp.bfloat16)
         table = cast_floats(table, jnp.bfloat16)
     n = table.num_rows
 
-    # time the whole loop ON DEVICE (lax.fori_loop → ONE dispatch + ONE
-    # sync); host-side per-call dispatch/sync latency would otherwise
-    # dominate and make the number noise, especially through a TPU tunnel
     def run_n(params, table, n_iters):
         def body(i, acc):
-            idx = (idx0 + i * BATCH) % n
+            idx = (idx0 + i * FWD_BATCH) % n
             return acc + fwd(params, table, idx)
 
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
     run_n = jax.jit(run_n, static_argnames=("n_iters",))
-    # slope method: (t[iters] - t[1]) removes the dispatch+sync intercept
     jax.block_until_ready(run_n(params, table, 1))
     jax.block_until_ready(run_n(params, table, iters))
     t0 = time.perf_counter()
@@ -110,19 +122,113 @@ def measure(iters: int = ITERS, rows: int = ROWS) -> float:
     jax.block_until_ready(run_n(params, table, iters))
     t2 = time.perf_counter()
     dt = max((t2 - t1) - (t1 - t0), 1e-9)
-    return BATCH * (iters - 1) / dt
+    return FWD_BATCH * (iters - 1) / dt
+
+
+# ---------------------------------------------------------------------------
+# encode+train (the north-star metric)
+# ---------------------------------------------------------------------------
+
+def build_trainer(rows: int):
+    import tempfile
+
+    from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
+    from rmm_tpu.train.trainer import Trainer
+    from rmm_tpu.utils.config import Config
+
+    csv = os.path.join(tempfile.gettempdir(), f"bench_aml_{rows}.csv")
+    if not os.path.exists(csv):
+        write_synthetic_aml_csv(csv, num_rows=rows,
+                                num_accounts=max(rows // 16, 64), seed=0)
+    # supervised config of record (main.py:161-190, utils.py:40-44)
+    cfg = Config(model="tabgnn", data=csv, task="edge_classification",
+                 batch_size=200, n_hidden=32, n_gnn_layers=2,
+                 num_neighs=(100, 100), steps_per_dispatch=TRAIN_K,
+                 sampler_threads=4, epochs=1, testing=True)
+    ds = IBMTransactionsAML(root=csv, khop_neighbors=cfg.num_neighs,
+                            channels=cfg.n_hidden)
+    return cfg, ds, Trainer(cfg, ds)
+
+
+def measure_train(rows: int = ROWS, k: int = TRAIN_K):
+    """Returns (device_rows_per_sec, sampler_rows_per_sec, e2e_rows_per_sec,
+    mfu_or_None)."""
+    import jax
+    import numpy as np
+
+    cfg, ds, tr = build_trainer(rows)
+    view = ds.edges.split()[0]
+
+    # --- host sampler throughput ------------------------------------------
+    t0 = time.perf_counter()
+    batches = []
+    for gb in tr._batches(view, "train", epoch=0):
+        batches.append(gb)
+        if len(batches) >= k:
+            break
+    t1 = time.perf_counter()
+    sampler_rps = len(batches) * cfg.batch_size / (t1 - t0)
+    while len(batches) < k:
+        batches.append(batches[-1])
+
+    # --- device train-step time (slope method over the scan dispatch) ----
+    def stack(n):
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs) if xs[0] is not None else None,
+            *batches[:n])
+
+    def dispatch(stacked, n):
+        rngs = jax.random.split(jax.random.PRNGKey(0), n)
+        real = np.ones(n, bool)
+        out = tr._scan_step(tr.variables, tr.opt_state, stacked, rngs, real,
+                            tr.edge_table, tr.node_table)
+        return jax.block_until_ready(out)
+
+    s1, sk = stack(1), stack(k)
+    dispatch(s1, 1)          # compile
+    dispatch(sk, k)          # compile
+    t0 = time.perf_counter()
+    dispatch(s1, 1)
+    t1 = time.perf_counter()
+    dispatch(sk, k)
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9)
+    step_time = dt / (k - 1)
+    device_rps = cfg.batch_size / step_time
+
+    # --- MFU (model FLOPs per step from XLA cost analysis) ----------------
+    mfu = None
+    try:
+        rngs = jax.random.split(jax.random.PRNGKey(0), k)
+        real = np.ones(k, bool)
+        cost = tr._scan_step.lower(
+            tr.variables, tr.opt_state, sk, rngs, real, tr.edge_table,
+            tr.node_table).compile().cost_analysis()
+        if cost and "flops" in cost:
+            mfu = (float(cost["flops"]) / k) / step_time / PEAK_FLOPS
+    except Exception:
+        pass
+
+    # --- end-to-end epoch (sampler + prefetch + dispatch overlapped) ------
+    rec = tr.train_epoch(view, epoch=1)
+    n_rows = view.tensor_frame.num_rows
+    e2e_rps = n_rows / rec["sec"]
+    return device_rps, sampler_rps, e2e_rps, mfu
 
 
 def main():
     if "--cpu-baseline" in sys.argv:
-        # clean process: no axon .pth in PYTHONPATH, CPU platform
-        print(json.dumps({"rows_per_sec": measure(iters=6, rows=ROWS)}))
+        # clean process: CPU platform, reduced iters
+        dev, _, _, _ = measure_train(rows=ROWS, k=5)
+        print(json.dumps({"train_rows_per_sec": dev}))
         return
 
-    import numpy as np  # noqa: F401
-
-    value = measure()
-    print(f"accelerator rows/sec: {value:,.0f}", file=sys.stderr)
+    device_rps, sampler_rps, e2e_rps, mfu = measure_train()
+    print(f"train-step rows/sec: {device_rps:,.0f}  sampler: "
+          f"{sampler_rps:,.0f}  e2e: {e2e_rps:,.0f}  mfu: {mfu}",
+          file=sys.stderr)
+    fwd_rps = measure_fwd()
+    print(f"encode+forward rows/sec: {fwd_rps:,.0f}", file=sys.stderr)
 
     cpu_rps = None
     try:
@@ -131,22 +237,27 @@ def main():
         env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-            env=env, capture_output=True, text=True, timeout=1200)
+            env=env, capture_output=True, text=True, timeout=2400)
         cpu_rps = json.loads(res.stdout.strip().splitlines()[-1])[
-            "rows_per_sec"]
-        print(f"cpu-baseline rows/sec: {cpu_rps:,.0f}", file=sys.stderr)
+            "train_rows_per_sec"]
+        print(f"cpu-baseline train rows/sec: {cpu_rps:,.0f}",
+              file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"cpu baseline failed: {e}", file=sys.stderr)
 
-    vs = (value / cpu_rps) if cpu_rps else 1.0
+    vs = (device_rps / cpu_rps) if cpu_rps else 1.0
     print(json.dumps({
-        "metric": "encode+fttransformer_fwd rows/sec/chip",
-        "value": round(value, 1),
+        "metric": "supervised encode+train rows/sec/chip (tabgnn, config "
+                  "of record)",
+        "value": round(device_rps, 1),
         "unit": "rows/s",
         "vs_baseline": round(vs, 2),
+        "sampler_rows_per_sec": round(sampler_rps, 1),
+        "e2e_rows_per_sec": round(e2e_rps, 1),
+        "fwd_rows_per_sec": round(fwd_rps, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
 
 
 if __name__ == "__main__":
-    import numpy as np  # noqa: F401
     main()

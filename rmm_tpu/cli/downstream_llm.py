@@ -51,17 +51,32 @@ def main(argv=None):
 
     finetune = args.text_path == "finetune"
     embedder = None
-    if not finetune and args.text_model != "hashing":
-        from ..nn.text import get_text_embedder
-        embedder = get_text_embedder(args.text_model)
+    text_module, tokenizer, text_dim = None, None, 0
+    if args.text_model != "hashing":
+        if finetune:
+            # real pretrained-LM finetune (downstream_model_LLM.py:70-83):
+            # cache-gated; falls back to the from-scratch flax LM
+            from ..nn.text import pretrained_text_model
+            try:
+                text_module, tokenizer, text_dim = pretrained_text_model(
+                    args.text_model, lora_rank=args.lora_rank)
+                logging.info("finetuning cached LM '%s' (hidden=%d, frozen "
+                             "base + LoRA)", args.text_model, text_dim)
+            except RuntimeError as e:
+                logging.warning("%s — falling back to the flax LM", e)
+        else:
+            from ..nn.text import get_text_embedder
+            embedder = get_text_embedder(args.text_model)
     dataset = AmazonFashionDataset(
         root=cfg.data,
         text_stype=(Stype.text_tokenized if finetune
                     else Stype.text_embedded),
-        text_embedder=embedder, channels=cfg.n_hidden)
+        text_embedder=embedder, tokenizer=tokenizer, channels=cfg.n_hidden)
     trainer = TextTabularRegressionTrainer(cfg, dataset,
                                            finetune_text=finetune,
-                                           lora_rank=args.lora_rank)
+                                           lora_rank=args.lora_rank,
+                                           text_module=text_module,
+                                           text_model_dim=text_dim)
     rl = RunLogger(os.path.join(cfg.wandb_dir, "run_downstream_llm"),
                    config=__import__("json").loads(cfg.to_json()),
                    use_wandb=not cfg.testing)

@@ -23,11 +23,16 @@ logger = logging.getLogger(__name__)
 
 
 def read_dataset(csv_path: str, text_col: str = "reviewText",
-                 target_col: str = "overall", max_length: int = 64):
+                 target_col: str = "overall", max_length: int = 64,
+                 tokenizer=None):
     """csv → (token_ids [N, L], ratings [N]) (``finetune_LLM.py:15-27``)."""
     df = pd.read_csv(csv_path)
-    ids = TextToEmbeddingFinetune.tokenize(
-        df[text_col].fillna("").tolist(), max_length=max_length)
+    texts = df[text_col].fillna("").tolist()
+    if tokenizer is None:
+        ids = TextToEmbeddingFinetune.tokenize(texts,
+                                               max_length=max_length)
+    else:
+        ids = tokenizer(texts)
     y = df[target_col].to_numpy(dtype=np.float32)
     return ids, y
 
@@ -35,23 +40,40 @@ def read_dataset(csv_path: str, text_col: str = "reviewText",
 def finetune_llm(csv_path: str, epochs: int = 5, batch_size: int = 128,
                  lr: float = 1e-3, hidden: int = 128, num_layers: int = 2,
                  lora_rank: int = 8, max_length: int = 64, seed: int = 0,
-                 run_logger=None):
-    ids, y = read_dataset(csv_path, max_length=max_length)
+                 text_model: str = "hashing", run_logger=None):
+    # pretrained path first (the reference finetunes an actual HF LM,
+    # finetune_LLM.py:29-90): cache-gated, clear fallback
+    encoder, tokenizer, enc_hidden = None, None, hidden
+    if text_model and text_model != "hashing":
+        from ..nn.text import pretrained_text_model
+        try:
+            encoder, tokenizer, enc_hidden = pretrained_text_model(
+                text_model, lora_rank=lora_rank, max_length=max_length)
+            logger.info("finetuning cached LM '%s' (hidden=%d, frozen base "
+                        "+ LoRA)", text_model, enc_hidden)
+        except RuntimeError as e:
+            logger.warning("%s — falling back to the flax LM", e)
+    if encoder is None:
+        encoder = TextToEmbeddingFinetune(hidden=hidden,
+                                          num_layers=num_layers,
+                                          lora_rank=lora_rank,
+                                          max_length=max_length)
+        enc_hidden = hidden
+
+    ids, y = read_dataset(csv_path, max_length=max_length,
+                          tokenizer=tokenizer)
     n = len(y)
     rng = np.random.RandomState(seed)
     perm = rng.permutation(n)
     n_train = int(n * 0.8)
     tr_idx, te_idx = perm[:n_train], perm[n_train:]
 
-    encoder = TextToEmbeddingFinetune(hidden=hidden, num_layers=num_layers,
-                                      lora_rank=lora_rank,
-                                      max_length=max_length)
     key = jax.random.PRNGKey(seed)
     key, k1 = jax.random.split(key)
     params = {"encoder": encoder.init(k1, jnp.zeros((2, max_length),
                                                     jnp.int32))}
     params["head"] = {
-        "w": jnp.zeros((hidden, 1)), "b": jnp.zeros((1,))}
+        "w": jnp.zeros((enc_hidden, 1)), "b": jnp.zeros((1,))}
     tx = optax.adamw(lr)
     opt_state = tx.init(params)
 
@@ -116,6 +138,9 @@ def main(argv=None):
     p.add_argument("--num_layers", default=2, type=int)
     p.add_argument("--lora_rank", default=8, type=int)
     p.add_argument("--max_length", default=64, type=int)
+    p.add_argument("--text_model", default="hashing", type=str,
+                   help="'hashing' (from-scratch flax LM) or an HF model id "
+                        "/ path present in the local cache")
     p.add_argument("--testing", action="store_true")
     p.add_argument("--wandb_dir", default="wandb/", type=str)
     args = p.parse_args(argv)
@@ -126,7 +151,7 @@ def main(argv=None):
         args.dataset, epochs=args.epochs, batch_size=args.batch_size,
         lr=args.lr, hidden=args.hidden, num_layers=args.num_layers,
         lora_rank=args.lora_rank, max_length=args.max_length,
-        run_logger=rl)
+        text_model=args.text_model, run_logger=rl)
     rl.close()
     return history
 

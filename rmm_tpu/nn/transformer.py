@@ -49,14 +49,23 @@ class MultiHeadSelfAttention(nn.Module):
         bout = self.param("out_bias", nn.initializers.zeros, (C,))
 
         dropout_active = (not deterministic) and self.dropout > 0.0
-        kernel_ok = (self.use_pallas != "never" and deterministic
-                     and not dropout_active
-                     and C % 128 == 0
+        # the kernel now covers TRAINING too: fused custom_vjp backward +
+        # explicit bernoulli keep-mask for attention-prob dropout (identical
+        # semantics to the nn.Dropout below), and any C divisible by nhead
+        # (Mosaic pads the lane axis — the old C%128 gate is gone)
+        kernel_ok = (self.use_pallas != "never"
+                     and C % self.nhead == 0
                      and jax.default_backend() == "tpu")
         if self.use_pallas == "always" or kernel_ok:
             from ..ops.pallas.column_attention import fused_column_attention
-            return fused_column_attention(x, wqkv, bqkv, wout, bout,
-                                          self.nhead)
+            mask = None
+            if dropout_active:
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.dropout,
+                    (B, self.nhead, S, S))
+            return fused_column_attention(
+                x, wqkv, bqkv, wout, bout, self.nhead, drop_mask=mask,
+                dropout_rate=self.dropout if dropout_active else 0.0)
 
         qkv = x @ wqkv + bqkv
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -32,16 +32,23 @@ logger = logging.getLogger(__name__)
 
 class TextTabularRegressionTrainer:
     def __init__(self, cfg: Config, dataset, finetune_text: bool = False,
-                 lora_rank: int = 8):
+                 lora_rank: int = 8, text_module=None, text_model_dim: int = 0):
+        """``text_module``: an optional pre-built text encoder module (e.g.
+        :func:`rmm_tpu.nn.text.pretrained_text_model` — frozen cached HF LM
+        + trainable LoRA); default is the from-scratch flax LM."""
         self.cfg = cfg
         self.dataset = dataset
         edges = dataset.edges
         text_model = None
         model_dim = 0
         if finetune_text:
-            text_model = TextToEmbeddingFinetune(
-                hidden=cfg.n_hidden, num_layers=1, lora_rank=lora_rank)
-            model_dim = cfg.n_hidden
+            if text_module is not None:
+                text_model = text_module
+                model_dim = text_model_dim
+            else:
+                text_model = TextToEmbeddingFinetune(
+                    hidden=cfg.n_hidden, num_layers=1, lora_rank=lora_rank)
+                model_dim = cfg.n_hidden
         self.encoder = make_stypewise_encoder(
             edges, cfg.n_hidden, text_model=text_model, model_dim=model_dim)
         self.model = FTTransformer(cfg.n_hidden, cfg.n_gnn_layers,

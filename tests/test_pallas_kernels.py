@@ -40,3 +40,83 @@ def test_attention_layer_pallas_flag_matches_xla():
         block_rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-4)
+
+
+def _rand_params(rng, C):
+    return (jnp.array(rng.randn(C, 3 * C) * 0.05, jnp.float32),
+            jnp.array(rng.randn(3 * C) * 0.01, jnp.float32),
+            jnp.array(rng.randn(C, C) * 0.05, jnp.float32),
+            jnp.array(rng.randn(C) * 0.01, jnp.float32))
+
+
+@pytest.mark.parametrize("C,H", [(128, 8), (32, 8), (64, 4)])
+def test_fused_attention_small_channels(C, H):
+    """C=32/64 (the supervised config of record) — no 128-lane gate."""
+    rng = np.random.RandomState(2)
+    B, S = 16, 6
+    x = jnp.array(rng.randn(B, S, C), jnp.float32)
+    wqkv, bqkv, wout, bout = _rand_params(rng, C)
+    ref = reference_column_attention(x, wqkv, bqkv, wout, bout, H)
+    out = fused_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                 block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("C,H,rate", [(128, 8, 0.0), (32, 8, 0.0),
+                                      (64, 4, 0.25), (128, 8, 0.25)])
+def test_fused_attention_backward_parity(C, H, rate):
+    """custom_vjp fused backward == autodiff of the XLA reference, for all
+    six inputs, with and without the dropout keep-mask."""
+    rng = np.random.RandomState(3)
+    B, S = 8, 5
+    x = jnp.array(rng.randn(B, S, C), jnp.float32)
+    wqkv, bqkv, wout, bout = _rand_params(rng, C)
+    cot = jnp.array(rng.randn(B, S, C), jnp.float32)
+    mask = None
+    if rate > 0.0:
+        mask = jnp.array(rng.rand(B, H, S, S) > rate)
+
+    def loss_fused(x, wqkv, bqkv, wout, bout):
+        o = fused_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                   drop_mask=mask, dropout_rate=rate,
+                                   block_rows=4, interpret=True)
+        return jnp.sum(o * cot)
+
+    def loss_ref(x, wqkv, bqkv, wout, bout):
+        o = reference_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                       drop_mask=mask, dropout_rate=rate)
+        return jnp.sum(o * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        x, wqkv, bqkv, wout, bout)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, wqkv, bqkv, wout, bout)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_attention_dropout_semantics():
+    """Keep-mask dropout == nn.Dropout on attention probs: full-ones mask
+    reproduces the no-dropout output scaled consistently; a zero-row mask
+    zeroes that query's context contribution."""
+    rng = np.random.RandomState(4)
+    B, S, C, H = 4, 5, 32, 4
+    x = jnp.array(rng.randn(B, S, C), jnp.float32)
+    wqkv, bqkv, wout, bout = _rand_params(rng, C)
+    rate = 0.5
+    ones = jnp.ones((B, H, S, S), bool)
+    out = fused_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                 drop_mask=ones, dropout_rate=rate,
+                                 block_rows=4, interpret=True)
+    # all-keep mask = no-dropout output scaled by 1/(1-p) inside attention;
+    # compare against the XLA reference with the same mask (exact semantics)
+    ref = reference_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                     drop_mask=ones, dropout_rate=rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+    assert not np.allclose(
+        np.asarray(out),
+        np.asarray(fused_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                          block_rows=4, interpret=True)))

@@ -116,3 +116,87 @@ def test_finetune_llm_cli(reviews_csv, tmp_path):
                            num_layers=1, max_length=16)
     assert hist[-1]["eval_mse"] < hist[0]["eval_mse"] * 1.5
     assert np.isfinite(hist[-1]["train_mse"])
+
+
+# ---------------------------------------------------------------------------
+# pretrained (cached) HF LM path — tiny locally-constructed checkpoint
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_hf_checkpoint(tmp_path_factory):
+    transformers = pytest.importorskip("transformers")
+    d = tmp_path_factory.mktemp("tiny_bert")
+    cfg = transformers.BertConfig(
+        vocab_size=32, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=24,
+        max_position_embeddings=64)
+    model = transformers.FlaxBertModel(cfg, seed=0)
+    model.save_pretrained(str(d))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "a",
+             "good", "bad", "great", "product", "quality", "love", "hate",
+             "nice", "poor"]
+    vpath = d / "vocab.txt"
+    vpath.write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(vpath),
+                                         do_lower_case=True)
+    tok.save_pretrained(str(d))
+    return str(d)
+
+
+def test_pretrained_lm_cache_gated_error():
+    from rmm_tpu.nn.text import load_cached_lm
+
+    import os
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    with pytest.raises(RuntimeError, match="local HF cache"):
+        load_cached_lm("definitely/not-a-cached-model")
+
+
+def test_pretrained_lm_lora_finetune_path(tiny_hf_checkpoint):
+    """Frozen cached LM + trainable LoRA: loads from a local checkpoint,
+    jits, and grads flow ONLY into the adapter."""
+    from rmm_tpu.nn.text import pretrained_text_model
+
+    module, tokenizer, hidden = pretrained_text_model(
+        tiny_hf_checkpoint, lora_rank=4, max_length=16)
+    assert hidden == 16
+    ids = tokenizer(["a good product", "bad quality", ""])
+    assert ids.shape == (3, 16)
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    # the trainable tree contains ONLY adapter params (base is frozen
+    # constants, not parameters)
+    names = jax.tree_util.tree_leaves_with_path(params["params"])
+    keys = {"/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in names}
+    assert all("lora" in k or "proj" in k for k in keys), keys
+
+    @jax.jit
+    def loss(p, ids):
+        return module.apply(p, ids).sum()
+
+    g = jax.grad(loss)(params, jnp.asarray(ids))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).sum()) > 0 for l in leaves)
+
+
+def test_downstream_trainer_with_pretrained_lm(tiny_hf_checkpoint,
+                                               tmp_path):
+    """End-to-end: AmazonFashion text_tokenized with the HF tokenizer +
+    frozen-LM-LoRA module inside the tabular forward pass."""
+    from rmm_tpu.nn.text import pretrained_text_model
+
+    module, tokenizer, hidden = pretrained_text_model(
+        tiny_hf_checkpoint, lora_rank=2, max_length=12)
+    csv = str(tmp_path / "reviews.csv")
+    synthetic_amazon_fashion(csv, num_rows=96, seed=0)
+    ds = AmazonFashionDataset(root=csv, text_stype=Stype.text_tokenized,
+                              tokenizer=tokenizer, channels=8)
+    cfg = Config(model="fttransformer", data=csv, batch_size=32, epochs=1,
+                 n_hidden=8, n_gnn_layers=1, lr=1e-3, testing=True)
+    tr = TextTabularRegressionTrainer(cfg, ds, finetune_text=True,
+                                      text_module=module,
+                                      text_model_dim=hidden)
+    hist, best = tr.fit()
+    assert np.isfinite(hist[-1]["loss"])
+    assert np.isfinite(best)
