@@ -37,7 +37,7 @@ class AmazonFashionDataset(GraphTableDataset):
                  text_stype: Stype = Stype.text_embedded,
                  text_embedder=None, tokenizer=None,
                  channels: int = 64, ports: bool = False, ego: bool = False,
-                 edge_capacity: int = 4096, node_capacity: int = 4096,
+                 edge_capacity: int = 0, node_capacity: int = 0,
                  use_native_sampler: bool = True):
         df = pd.read_csv(root, header=0)
         assert text_stype in (Stype.text_embedded, Stype.text_tokenized)

@@ -210,7 +210,13 @@ class GraphTableDataset:
                 need_n = max(need_n, sub.num_nodes)
 
         def rnd(x):
-            return max(256, -(-int(x * safety) // 256) * 256)
+            # power-of-two above 1k: distinct datasets land on the SAME
+            # buffer shapes, so XLA/Mosaic compile caches transfer across
+            # runs (cold compiles cost minutes through the TPU relay)
+            need = max(int(x * safety), 256)
+            if need <= 1024:
+                return -(-need // 256) * 256
+            return 1 << (need - 1).bit_length()
 
         self.edge_capacity = max(rnd(need_e), B)
         self.node_capacity = max(rnd(need_n), B)

@@ -43,8 +43,8 @@ class IBMTransactionsAML(GraphTableDataset):
         ports: bool = False,
         ego: bool = False,
         channels: int = 64,
-        edge_capacity: int = 4096,
-        node_capacity: int = 4096,
+        edge_capacity: int = 0,
+        node_capacity: int = 0,
         use_native_sampler: bool = True,
     ):
         self.root = root

@@ -129,7 +129,7 @@ class NodeClassificationDataset(GraphTableDataset):
 
     ignore_label: Optional[int] = None
 
-    def __init__(self, edges, nodes, edge_capacity=4096, node_capacity=4096,
+    def __init__(self, edges, nodes, edge_capacity=0, node_capacity=0,
                  ignore_label: Optional[int] = None, n_classes: int = 2):
         super().__init__(edges, nodes, edge_capacity, node_capacity)
         self.ignore_label = ignore_label

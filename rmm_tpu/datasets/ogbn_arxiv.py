@@ -22,7 +22,7 @@ class OgbnArxiv(NodeClassificationDataset):
                  splits: Sequence[float] = (0.6, 0.2, 0.2),
                  khop_neighbors=(100, 100), ports: bool = False,
                  ego: bool = False, channels: int = 64,
-                 edge_capacity: int = 4096, node_capacity: int = 4096,
+                 edge_capacity: int = 0, node_capacity: int = 0,
                  use_native_sampler: bool = True):
         nodes_df = pd.read_csv(os.path.join(root, "nodes.csv"), header=0)
         edges_df = pd.read_csv(os.path.join(root, "edges.csv"), header=0)

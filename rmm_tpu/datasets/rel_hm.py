@@ -43,7 +43,7 @@ class RelHM(GraphTableDataset):
                  splits: Sequence[float] = (0.6, 0.2, 0.2),
                  khop_neighbors=(100, 100), ports: bool = False,
                  ego: bool = False, channels: int = 64,
-                 edge_capacity: int = 4096, node_capacity: int = 4096,
+                 edge_capacity: int = 0, node_capacity: int = 0,
                  use_native_sampler: bool = True):
         df = pd.read_csv(root, header=0)
         # customers and articles share one global id space (bipartite graph

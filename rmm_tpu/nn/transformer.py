@@ -53,7 +53,9 @@ class MultiHeadSelfAttention(nn.Module):
         # explicit bernoulli keep-mask for attention-prob dropout (identical
         # semantics to the nn.Dropout below), and any C divisible by nhead
         # (Mosaic pads the lane axis — the old C%128 gate is gone)
+        import os
         kernel_ok = (self.use_pallas != "never"
+                     and not os.environ.get("RMM_DISABLE_PALLAS")
                      and C % self.nhead == 0
                      and jax.default_backend() == "tpu")
         if self.use_pallas == "always" or kernel_ok:
