@@ -6,5 +6,11 @@ from .data_parallel import (  # noqa: F401
     shard_batch,
     stack_batches,
 )
+from .tensor_parallel import (  # noqa: F401
+    distributed_gather_rows,
+    make_dp_tp_eval_step,
+    make_dp_tp_train_step,
+    shard_table,
+)
 from .prefetch import Prefetcher  # noqa: F401
 from .distributed import maybe_init_distributed, global_batch_slice  # noqa: F401
