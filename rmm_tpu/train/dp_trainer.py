@@ -65,6 +65,9 @@ class DataParallelTrainer(Trainer):
         losses, aux_list, seed_masks = [], [], []
         dropped = kept = 0
         pending = []
+        # bounded async dispatch window (see Trainer.train_epoch)
+        window = max(int(getattr(cfg, "inflight_groups", 2)), 1)
+        inflight = []
 
         def flush():
             if not pending:
@@ -81,6 +84,9 @@ class DataParallelTrainer(Trainer):
             seed_masks.append(
                 np.stack([g.seed_mask for g in pending]).reshape(-1))
             pending.clear()
+            inflight.append(losses[-1])
+            if len(inflight) > window:
+                jax.block_until_ready(inflight.pop(0))
 
         for gb in Prefetcher(self._batches(view, "train", epoch),
                              depth=2 * D, device_put=False):

@@ -341,6 +341,10 @@ class PretrainTrainer:
         K = max(int(getattr(self.cfg, "steps_per_dispatch", 1)), 1)
         results = []   # (loss, aux, n_real) — device arrays, synced at end
         pending = []
+        # bounded async dispatch window (see Trainer.train_epoch): unbounded
+        # queueing collapses throughput over tunneled device transports
+        window = max(int(getattr(self.cfg, "inflight_groups", 2)), 1)
+        inflight = []
 
         def flush(n_real=None):
             if not pending:
@@ -366,6 +370,9 @@ class PretrainTrainer:
                     self.moco_state, stacked, rngs, real)
                 results.append((losses[:n_real], auxes, n_real))
             pending.clear()
+            inflight.append(results[-1][0])
+            if len(inflight) > window:
+                jax.block_until_ready(inflight.pop(0))
 
         dropped = kept = 0
         for gb in Prefetcher(self._batches(view, "train", epoch),

@@ -299,6 +299,13 @@ class Trainer:
         dropped = kept = 0    # sampler truncation telemetry
         K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
         pending: list[GraphBatch] = []
+        # Bounded async dispatch: keep at most `inflight_groups` dispatched
+        # step-groups un-synced. Fully unbounded queueing (sync only at epoch
+        # end) degrades an order of magnitude over remote/tunneled device
+        # transports; a window of ~2 keeps the device busy while the host
+        # samples ahead.
+        window = max(int(getattr(cfg, "inflight_groups", 2)), 1)
+        inflight: list = []
 
         def flush(n_real=None):
             if not pending:
@@ -334,6 +341,9 @@ class Trainer:
                     lambda a: a[:n_real], auxes))
                 seed_masks.append(masks[:n_real].reshape(-1))
             pending.clear()
+            inflight.append(losses[-1])
+            if len(inflight) > window:
+                jax.block_until_ready(inflight.pop(0))
 
         from ..parallel.prefetch import Prefetcher
 

@@ -55,6 +55,10 @@ class Config:
     # misc
     steps_per_dispatch: int = 1   # >1: lax.scan K train steps per dispatch
     sampler_threads: int = 1      # >1: thread-pool host sampling
+    inflight_groups: int = 2      # bounded async dispatch window (groups
+                                  # queued on device before the host blocks;
+                                  # unbounded queueing degrades badly over
+                                  # remote/tunneled device transports)
 
     seed: int = 1
     testing: bool = False
@@ -116,6 +120,8 @@ def create_parser() -> argparse.ArgumentParser:
                    help="data-parallel over N devices (0 = single chip)")
     p.add_argument("--steps_per_dispatch", default=1, type=int)
     p.add_argument("--sampler_threads", default=1, type=int)
+    p.add_argument("--inflight_groups", default=2, type=int,
+                   help="max dispatched step-groups before host sync")
     return p
 
 
@@ -139,6 +145,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(steps_per_dispatch=args.steps_per_dispatch)
     if getattr(args, "sampler_threads", 1) != 1:
         cfg = cfg.replace(sampler_threads=args.sampler_threads)
+    if getattr(args, "inflight_groups", 2) != 2:
+        cfg = cfg.replace(inflight_groups=args.inflight_groups)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)
