@@ -1,0 +1,254 @@
+"""Device-resident k-hop neighbor sampling (fully in-jit, static shapes).
+
+TPU-native re-design of the reference's host-side sampling stack
+(``torch_geometric.sampler.NeighborSampler`` + pyg-lib CPU kernels,
+``src/datasets/util/graph.py:31-53``): the per-split CSR lives in HBM and
+k-hop expansion, edge dedup, capacity-bounded truncation accounting and
+local relabeling all run INSIDE the jitted train step. The host then ships
+only the seed ids (~KBs per batch instead of MBs of sampled subgraph),
+which removes the host sampler and the host->device feed from the hot loop
+entirely — the whole epoch can stream through ``lax.scan`` dispatches.
+
+Contracts preserved from the host sampler (:mod:`rmm_tpu.graph.sampler`):
+  * seed edges occupy lanes [0, B) in input order
+    (``ibm_transactions_for_aml.py:63-66,102-112``);
+  * node ids are sorted-unique (the ``torch.unique`` relabel at
+    ``ibm_transactions_for_aml.py:168-173``);
+  * per-hop fanout over INCOMING edges (pyg message-flow direction),
+    optional undirected expansion over outgoing edges;
+  * capacity overflow is counted (``num_dropped``), never silent.
+
+Documented deviations (static-shape redesign, not translation):
+  * high-degree nodes (deg > fanout) are sampled WITH replacement and
+    deduplicated, yielding <= fanout distinct edges (exact and
+    deterministic for deg <= fanout, the common case);
+  * duplicate edges are removed at the end of expansion rather than
+    skipped at draw time, and capacity truncation keeps the smallest edge
+    ids rather than discovery order. Both only matter when capacities are
+    undersized — auto-calibration keeps drops ~= 0.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT_MAX = np.int32(2**31 - 1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceGraph:
+    """Per-split CSR + global endpoint lookup, all device-resident int32."""
+
+    indptr: jnp.ndarray       # [N+1] in-CSR offsets
+    nbr: jnp.ndarray          # [E_split] source endpoint of each in-edge
+    eid: jnp.ndarray          # [E_split] global edge-table row id
+    src: jnp.ndarray          # [E_total] global edge endpoints (id -> src)
+    dst: jnp.ndarray          # [E_total]
+    out_indptr: Optional[jnp.ndarray] = None   # undirected expansion
+    out_nbr: Optional[jnp.ndarray] = None
+    out_eid: Optional[jnp.ndarray] = None
+
+    def tree_flatten(self):
+        return (self.indptr, self.nbr, self.eid, self.src, self.dst,
+                self.out_indptr, self.out_nbr, self.out_eid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @classmethod
+    def from_arrays(cls, src, dst, edge_ids, num_nodes: int,
+                    undirected: bool = False,
+                    full_src=None, full_dst=None) -> "DeviceGraph":
+        """Build from a split's edge list. ``full_src/full_dst`` are the
+        FULL edge table's endpoints (edge ids index into them); they default
+        to the split's own arrays when the split covers every edge."""
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        edge_ids = np.asarray(edge_ids, np.int64)
+
+        def csr(key, other):
+            order = np.argsort(key, kind="stable")
+            indptr = np.zeros(num_nodes + 1, np.int64)
+            np.add.at(indptr, key + 1, 1)
+            np.cumsum(indptr, out=indptr)
+            return (jnp.asarray(indptr, jnp.int32),
+                    jnp.asarray(other[order], jnp.int32),
+                    jnp.asarray(edge_ids[order], jnp.int32))
+
+        indptr, nbr, eid = csr(dst, src)   # in-edges grouped by dst
+        out = (None, None, None)
+        if undirected:
+            out = csr(src, dst)
+        fs = src if full_src is None else np.asarray(full_src, np.int64)
+        fd = dst if full_dst is None else np.asarray(full_dst, np.int64)
+        return cls(indptr=indptr, nbr=nbr, eid=eid,
+                   src=jnp.asarray(fs, jnp.int32),
+                   dst=jnp.asarray(fd, jnp.int32),
+                   out_indptr=out[0], out_nbr=out[1], out_eid=out[2])
+
+    @classmethod
+    def from_store(cls, store, mode: str) -> "DeviceGraph":
+        """Build the device graph for one split of a
+        :class:`~rmm_tpu.graph.store.GraphStore`."""
+        s = store.sampler(mode)
+        return cls.from_arrays(
+            s.src, s.dst, s.edge_ids, store.num_nodes,
+            undirected=s.undirected,
+            full_src=store.src, full_dst=store.dst)
+
+
+def _isin_sorted(sorted_ref: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Membership of ``vals`` in an ascending ``sorted_ref`` (with
+    sentinel padding allowed — sentinels match only sentinels)."""
+    pos = jnp.searchsorted(sorted_ref, vals)
+    pos = jnp.clip(pos, 0, sorted_ref.shape[0] - 1)
+    return sorted_ref[pos] == vals
+
+
+def _unique_fill(x: jnp.ndarray, size: int, fill) -> jnp.ndarray:
+    return jnp.unique(x, size=size, fill_value=fill)
+
+
+def _count_distinct(x: jnp.ndarray, sentinel) -> jnp.ndarray:
+    xs = jnp.sort(x)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), xs[1:] != xs[:-1]]) & (xs != sentinel)
+    return first.sum()
+
+
+def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
+                sent_node, sent_edge):
+    """Sample <= fanout in-edges for each frontier lane.
+
+    Returns (eids [F, f], nbrs [F, f]) with sentinels in invalid lanes.
+    Exact (all edges, deterministic) when deg <= fanout; uniform
+    with-replacement draws deduplicated per lane otherwise."""
+    F = frontier.shape[0]
+    fr = jnp.where(fmask, frontier, 0)
+    p0 = indptr[fr]
+    deg = indptr[fr + 1] - p0                       # [F]
+    iota = jnp.arange(fanout, dtype=jnp.int32)[None, :]
+    u = jax.random.uniform(key, (F, fanout))
+    rand_pos = jnp.floor(u * deg[:, None].astype(u.dtype)).astype(jnp.int32)
+    rand_pos = jnp.clip(rand_pos, 0, jnp.maximum(deg[:, None] - 1, 0))
+    take_all = deg[:, None] <= fanout
+    pos = jnp.where(take_all, jnp.broadcast_to(iota, (F, fanout)), rand_pos)
+    valid = fmask[:, None] & jnp.where(take_all, iota < deg[:, None],
+                                       deg[:, None] > 0)
+    pos = jnp.where(valid, pos, INT_MAX)
+    pos = jnp.sort(pos, axis=1)                     # dup draws adjacent
+    dup = jnp.concatenate(
+        [jnp.zeros((F, 1), bool), pos[:, 1:] == pos[:, :-1]], axis=1)
+    valid = (pos != INT_MAX) & ~dup
+    gpos = jnp.clip(p0[:, None] + pos, 0, eid_arr.shape[0] - 1)
+    eids = jnp.where(valid, eid_arr[gpos], sent_edge)
+    nbrs = jnp.where(valid, nbr_arr[gpos], sent_node)
+    return eids, nbrs
+
+
+def sample_edges_device(
+    dg: DeviceGraph,
+    seeds: jnp.ndarray,          # [B, 3] int32 (src, dst, edge_id)
+    seed_mask: jnp.ndarray,      # [B] bool
+    key: jnp.ndarray,            # PRNG key
+    fanouts: Sequence[int],
+    edge_capacity: int,
+    node_capacity: int,
+):
+    """In-jit edge-seeded k-hop sampling.
+
+    Returns a dict of GraphBatch-shaped device arrays plus truncation
+    telemetry: ``{edge_gather, edge_mask, edge_index, node_gather,
+    node_mask, num_dropped, num_node_dropped}``.
+    """
+    B = seeds.shape[0]
+    sent_node = jnp.int32(dg.num_nodes)
+    sent_edge = jnp.int32(dg.src.shape[0])
+    seed_src = jnp.where(seed_mask, seeds[:, 0], sent_node)
+    seed_dst = jnp.where(seed_mask, seeds[:, 1], sent_node)
+    seed_eid = jnp.where(seed_mask, seeds[:, 2], sent_edge)
+
+    frontier = jnp.concatenate([seeds[:, 0], seeds[:, 1]])
+    fmask = jnp.concatenate([seed_mask, seed_mask])
+    node_set = _unique_fill(
+        jnp.concatenate([seed_src, seed_dst]), node_capacity, sent_node)
+
+    views = [(dg.indptr, dg.nbr, dg.eid)]
+    if dg.out_indptr is not None:
+        views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
+
+    cand_eids = []
+    for h, fanout in enumerate(fanouts):
+        nbr_parts = []
+        for v, (indptr, nbr_arr, eid_arr) in enumerate(views):
+            key, kh = jax.random.split(key)
+            eids, nbrs = _expand_hop(indptr, nbr_arr, eid_arr, frontier,
+                                     fmask, int(fanout), kh, sent_node,
+                                     sent_edge)
+            cand_eids.append(eids.reshape(-1))
+            nbr_parts.append(nbrs.reshape(-1))
+        if h + 1 < len(fanouts):
+            nxt = jnp.concatenate(nbr_parts)
+            new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
+            frontier = _unique_fill(new, node_capacity, sent_node)
+            fmask = frontier != sent_node
+            node_set = _unique_fill(
+                jnp.concatenate([node_set, frontier]), node_capacity,
+                sent_node)
+
+    cand = jnp.concatenate(cand_eids)
+    # drop candidates that are seed edges (seed lanes already carry them)
+    seed_sorted = jnp.sort(seed_eid)
+    cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)
+
+    R = int(edge_capacity) - B
+    if R <= 0:
+        raise ValueError("edge_capacity must exceed the seed batch size")
+    uniq = _unique_fill(cand, R, sent_edge)
+    kept_mask = uniq != sent_edge
+    distinct = _count_distinct(cand, sent_edge)
+    num_dropped = jnp.maximum(distinct - kept_mask.sum(), 0)
+
+    edge_gather = jnp.concatenate(
+        [jnp.where(seed_mask, seeds[:, 2], 0),
+         jnp.where(kept_mask, uniq, 0)]).astype(jnp.int32)
+    edge_mask = jnp.concatenate([seed_mask, kept_mask])
+
+    src_g = jnp.where(edge_mask, dg.src[edge_gather], sent_node)
+    dst_g = jnp.where(edge_mask, dg.dst[edge_gather], sent_node)
+    cand_nodes = jnp.concatenate([src_g, dst_g])
+    nodes = _unique_fill(cand_nodes, node_capacity, sent_node)
+    node_mask = nodes != sent_node
+    n_distinct = _count_distinct(cand_nodes, sent_node)
+    num_node_dropped = jnp.maximum(n_distinct - node_mask.sum(), 0)
+
+    def relabel(g):
+        p = jnp.clip(jnp.searchsorted(nodes, g), 0,
+                     node_capacity - 1).astype(jnp.int32)
+        return p, nodes[p] == g
+
+    lsrc, ok_s = relabel(src_g)
+    ldst, ok_d = relabel(dst_g)
+    edge_mask = edge_mask & ok_s & ok_d
+    edge_index = jnp.stack([jnp.where(edge_mask, lsrc, 0),
+                            jnp.where(edge_mask, ldst, 0)])
+
+    return {
+        "edge_gather": edge_gather,
+        "edge_mask": edge_mask,
+        "edge_index": edge_index,
+        "node_gather": jnp.where(node_mask, nodes, 0).astype(jnp.int32),
+        "node_mask": node_mask,
+        "num_dropped": num_dropped,
+        "num_node_dropped": num_node_dropped,
+    }

@@ -19,8 +19,9 @@ import numpy as np
 import optax
 
 from ..frame.loader import DataLoader
+from ..graph.device_sampler import DeviceGraph, sample_edges_device
 from ..nn.encoders import make_stypewise_encoder
-from ..utils.batch import GraphBatch
+from ..utils.batch import GraphBatch, SeedBatch
 from ..utils.config import Config
 from ..utils.loss import SSLoss, cross_entropy
 from ..utils.metric import f1_score, roc_auc
@@ -139,6 +140,120 @@ class Trainer:
         self._eval_step = jax.jit(self._forward_eval)
         self._scan_step = jax.jit(self._multi_step)
         self._scan_eval = jax.jit(self._multi_eval)
+        # device-sampling path: k-hop expansion runs IN-JIT from an
+        # HBM-resident CSR; the host ships SeedBatches (seed ids only)
+        self._train_step_dev = jax.jit(self._step_dev)
+        self._eval_step_dev = jax.jit(self._forward_eval_dev)
+        self._scan_step_dev = jax.jit(self._multi_step_dev)
+        self._scan_eval_dev = jax.jit(self._multi_eval_dev)
+        self._dgraphs: dict = {}
+
+    # -- device-side sampling ------------------------------------------
+    def _use_device_sampler(self) -> bool:
+        mode = getattr(self.cfg, "sampler", "auto")
+        if "node" in self.cfg.task:
+            # node-seeded device sampling not yet implemented — host path
+            if mode == "device":
+                logger.warning("sampler=device not available for node-"
+                               "seeded tasks yet; using host sampler")
+            return False
+        if mode == "device":
+            return True
+        if mode == "host":
+            return False
+        return jax.default_backend() != "cpu"
+
+    def _dgraph(self, mode: str) -> DeviceGraph:
+        """Device-resident CSR for one split (built once, cached; splits
+        sharing a sampler share the upload)."""
+        store = self.dataset.graph
+        samp = store.sampler(mode)
+        key = id(samp)
+        if key not in self._dgraphs:
+            self._dgraphs[key] = DeviceGraph.from_store(store, mode)
+        return self._dgraphs[key]
+
+    def _seed_batches(self, view, mode: str, epoch: int = 0):
+        """Yield light SeedBatches (edge-seeded tasks, device sampling)."""
+        cfg = self.cfg
+        loader = DataLoader(view.tensor_frame, cfg.batch_size,
+                            shuffle=(mode == "train"),
+                            seed=mix_seed(cfg.seed, epoch))
+        items = enumerate(loader)
+        if mode == "train":
+            from ..parallel.distributed import process_info, shard_stream
+
+            pidx, pcount = process_info()
+            items = shard_stream(items, pidx, pcount)
+        for i, (tf, valid) in items:
+            by = np.asarray(tf.y)
+            mask = np.zeros(len(by), bool)
+            mask[:valid] = True
+            yield SeedBatch(
+                seeds=by[:, -3:].astype(np.int32),
+                y=by[:, :-3].astype(np.float32),
+                seed_mask=mask,
+                sampler_seed=np.uint32(
+                    mix_seed(cfg.seed, epoch, i) & 0xFFFFFFFF))
+
+    def _materialize_dev(self, sb: SeedBatch, dgraph: DeviceGraph):
+        """In-jit: sample the k-hop subgraph around the seed edges."""
+        cfg = self.cfg
+        key = jax.random.PRNGKey(sb.sampler_seed)
+        out = sample_edges_device(
+            dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
+            cfg.edge_capacity, cfg.node_capacity)
+        batch = GraphBatch(
+            edge_gather=out["edge_gather"], edge_mask=out["edge_mask"],
+            edge_index=out["edge_index"], node_gather=out["node_gather"],
+            node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y)
+        return batch, out["num_dropped"], out["edge_mask"].sum()
+
+    def _step_dev(self, variables, opt_state, sb: SeedBatch, rng,
+                  edge_table, node_table, dgraph: DeviceGraph):
+        batch, dropped, kept = self._materialize_dev(sb, dgraph)
+        new_vars, opt_state, loss, aux = self._step(
+            variables, opt_state, batch, rng, edge_table, node_table)
+        aux = dict(aux, s_dropped=dropped, s_kept=kept)
+        return new_vars, opt_state, loss, aux
+
+    def _multi_step_dev(self, variables, opt_state, stacked: SeedBatch,
+                        rngs, real, edge_table, node_table,
+                        dgraph: DeviceGraph):
+        def body(carry, inp):
+            variables, opt_state = carry
+            sb, rng, is_real = inp
+            new_vars, new_opt, loss, aux = self._step_dev(
+                variables, opt_state, sb, rng, edge_table, node_table,
+                dgraph)
+
+            def sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(is_real, a, b), new, old)
+
+            return (sel(new_vars, variables), sel(new_opt, opt_state)), (
+                loss, aux)
+
+        (variables, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (variables, opt_state), (stacked, rngs, real))
+        return variables, opt_state, losses, auxes
+
+    def _forward_eval_dev(self, variables, sb: SeedBatch, edge_table,
+                          node_table, dgraph: DeviceGraph):
+        batch, dropped, kept = self._materialize_dev(sb, dgraph)
+        loss, aux = self._forward_eval(variables, batch, edge_table,
+                                      node_table)
+        return loss, dict(aux, s_dropped=dropped, s_kept=kept)
+
+    def _multi_eval_dev(self, variables, stacked: SeedBatch, edge_table,
+                        node_table, dgraph: DeviceGraph):
+        def body(carry, sb):
+            loss, aux = self._forward_eval_dev(variables, sb, edge_table,
+                                               node_table, dgraph)
+            return carry, (loss, aux)
+
+        _, (losses, auxes) = jax.lax.scan(body, None, stacked)
+        return losses, auxes
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -307,15 +422,25 @@ class Trainer:
         window = max(int(getattr(cfg, "inflight_groups", 2)), 1)
         inflight: list = []
 
+        use_dev = self._use_device_sampler()
+        dgraph = self._dgraph("train") if use_dev else None
+
         def flush(n_real=None):
             if not pending:
                 return
             n_real = n_real if n_real is not None else len(pending)
             if len(pending) == 1 and K == 1:
                 self.rng, k = jax.random.split(self.rng)
-                self.variables, self.opt_state, loss, aux = self._train_step(
-                    self.variables, self.opt_state, pending[0], k,
-                    self.edge_table, self.node_table)
+                if use_dev:
+                    (self.variables, self.opt_state, loss,
+                     aux) = self._train_step_dev(
+                        self.variables, self.opt_state, pending[0], k,
+                        self.edge_table, self.node_table, dgraph)
+                else:
+                    (self.variables, self.opt_state, loss,
+                     aux) = self._train_step(
+                        self.variables, self.opt_state, pending[0], k,
+                        self.edge_table, self.node_table)
                 losses.append(loss)
                 loss_counts.append(1)
                 aux_list.append(aux)
@@ -328,10 +453,12 @@ class Trainer:
                 masks = np.stack([g.seed_mask for g in pending])
                 self.rng, k = jax.random.split(self.rng)
                 rngs = jax.random.split(k, len(pending))
+                step_fn = self._scan_step_dev if use_dev else self._scan_step
+                extra = (dgraph,) if use_dev else ()
                 (self.variables, self.opt_state, ls,
-                 auxes) = self._scan_step(
+                 auxes) = step_fn(
                     self.variables, self.opt_state, stacked, rngs, real,
-                    self.edge_table, self.node_table)
+                    self.edge_table, self.node_table, *extra)
                 # keep only the real steps' loss/aux — the padded copies of
                 # the final batch would double-count its rows in the epoch
                 # metrics otherwise
@@ -347,11 +474,14 @@ class Trainer:
 
         from ..parallel.prefetch import Prefetcher
 
-        batch_iter = Prefetcher(self._batches(view, "train", epoch),
-                                depth=max(2 * K, 2), device_put=False)
+        src_iter = (self._seed_batches(view, "train", epoch) if use_dev
+                    else self._batches(view, "train", epoch))
+        batch_iter = Prefetcher(src_iter, depth=max(2 * K, 2),
+                                device_put=False)
         for gb in batch_iter:
-            dropped += gb.num_dropped
-            kept += int(gb.edge_mask.sum())
+            if not use_dev:
+                dropped += gb.num_dropped
+                kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == K:
                 flush()
@@ -372,6 +502,9 @@ class Trainer:
         preds, labels, scores = [], [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
         for aux, mask in zip(aux_list, seed_masks):
+            if use_dev:   # truncation telemetry computed in-jit
+                dropped += int(np.asarray(aux["s_dropped"]).sum())
+                kept += int(np.asarray(aux["s_kept"]).sum())
             if "mcm" in cfg.task:
                 for k2 in mcm:
                     mcm[k2] += float(np.asarray(aux[k2]).sum())
@@ -410,32 +543,41 @@ class Trainer:
         K = max(int(getattr(cfg, "steps_per_dispatch", 1)), 1)
         pending = []
 
+        use_dev = self._use_device_sampler()
+        dgraph = self._dgraph(mode) if use_dev else None
+        eval_one = self._eval_step_dev if use_dev else self._eval_step
+        eval_many = self._scan_eval_dev if use_dev else self._scan_eval
+        extra = (dgraph,) if use_dev else ()
+
         def flush_eval():
             if not pending:
                 return
             if len(pending) == 1:
-                _, aux = self._eval_step(self.variables, pending[0],
-                                         self.edge_table, self.node_table)
+                _, aux = eval_one(self.variables, pending[0],
+                                  self.edge_table, self.node_table, *extra)
                 results.append((aux, pending[0].seed_mask))
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs) if xs[0] is not None else None,
                     *pending)
-                _, auxes = self._scan_eval(self.variables, stacked,
-                                           self.edge_table, self.node_table)
+                _, auxes = eval_many(self.variables, stacked,
+                                     self.edge_table, self.node_table,
+                                     *extra)
                 for j, gb in enumerate(pending):
                     aux_j = jax.tree_util.tree_map(lambda a: a[j], auxes)
                     results.append((aux_j, gb.seed_mask))
             pending.clear()
 
-        for gb in self._batches(view, mode):
+        src_iter = (self._seed_batches(view, mode) if use_dev
+                    else self._batches(view, mode))
+        for gb in src_iter:
             pending.append(gb)
             if len(pending) == K:
                 flush_eval()
         while pending:  # trailing group: run one-by-one (stable shapes)
             gb = pending.pop(0)
-            _, aux = self._eval_step(self.variables, gb, self.edge_table,
-                                     self.node_table)
+            _, aux = eval_one(self.variables, gb, self.edge_table,
+                              self.node_table, *extra)
             results.append((aux, gb.seed_mask))
         for aux, mask in results:
             if "mcm" in cfg.task:

@@ -23,6 +23,28 @@ from ..graph.sampler import SampledSubgraph
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class SeedBatch:
+    """Host->device payload when sampling runs ON DEVICE
+    (:mod:`rmm_tpu.graph.device_sampler`): just the seed ids, the packed
+    target and a sampler seed — ~KBs/batch instead of the MBs a sampled
+    subgraph occupies. The k-hop expansion happens inside the jitted step.
+    """
+
+    seeds: np.ndarray         # [B, 3] int32 (src, dst, edge_id)
+    y: Optional[np.ndarray]   # [B, T] packed target (leading slots)
+    seed_mask: np.ndarray     # [B] bool
+    sampler_seed: np.ndarray  # [] uint32 — deterministic per (seed,epoch,i)
+
+    def tree_flatten(self):
+        return (self.seeds, self.y, self.seed_mask, self.sampler_seed), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class GraphBatch:
     """Device-ready ids/masks for one k-hop minibatch.
 

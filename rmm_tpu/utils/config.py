@@ -59,6 +59,11 @@ class Config:
                                   # queued on device before the host blocks;
                                   # unbounded queueing degrades badly over
                                   # remote/tunneled device transports)
+    sampler: str = "auto"         # auto | host | device — where k-hop
+                                  # sampling runs. "device" = in-jit on the
+                                  # accelerator (HBM-resident CSR, host
+                                  # ships seed ids only); "auto" picks
+                                  # device on TPU for edge-seeded tasks
 
     seed: int = 1
     testing: bool = False
@@ -122,6 +127,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler_threads", default=1, type=int)
     p.add_argument("--inflight_groups", default=2, type=int,
                    help="max dispatched step-groups before host sync")
+    p.add_argument("--sampler", default="auto",
+                   choices=("auto", "host", "device"),
+                   help="where k-hop sampling runs (device = in-jit)")
     return p
 
 
@@ -147,6 +155,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(sampler_threads=args.sampler_threads)
     if getattr(args, "inflight_groups", 2) != 2:
         cfg = cfg.replace(inflight_groups=args.inflight_groups)
+    if getattr(args, "sampler", "auto") != "auto":
+        cfg = cfg.replace(sampler=args.sampler)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)

@@ -1,0 +1,164 @@
+"""In-jit device sampler vs the host sampler contract.
+
+In the deterministic regime (fanout >= max degree: every in-edge is taken)
+the device sampler must reproduce the host sampler's edge SET and its
+sorted-unique node ordering exactly. Random-fanout runs are checked for
+structural invariants instead (the draw order differs by design).
+"""
+import jax
+import numpy as np
+import pytest
+
+from rmm_tpu.graph.device_sampler import DeviceGraph, sample_edges_device
+from rmm_tpu.graph.sampler import NeighborSampler
+
+
+def random_graph(rng, num_nodes=40, num_edges=300):
+    src = rng.randint(0, num_nodes, num_edges)
+    dst = rng.randint(0, num_nodes, num_edges)
+    return src.astype(np.int64), dst.astype(np.int64), num_nodes
+
+
+def make_pair(src, dst, n, fanouts, undirected=False):
+    host = NeighborSampler(np.stack([src, dst]), None, n, fanouts=fanouts,
+                           undirected=undirected, use_native=False)
+    dev = DeviceGraph.from_arrays(src, dst, np.arange(len(src)), n,
+                                  undirected=undirected)
+    return host, dev
+
+
+def seed_batch(rng, src, dst, b):
+    idx = rng.choice(len(src), size=b, replace=False)
+    seeds = np.stack([src[idx], dst[idx], idx], axis=1).astype(np.int32)
+    return seeds
+
+
+@pytest.mark.parametrize("undirected", [False, True])
+def test_exact_match_when_fanout_exceeds_degree(undirected):
+    rng = np.random.RandomState(0)
+    src, dst, n = random_graph(rng)
+    fanouts = (512, 512)         # > max degree -> deterministic full 2-hop
+    host, dev = make_pair(src, dst, n, fanouts, undirected)
+    seeds = seed_batch(rng, src, dst, b=8)
+    E_cap, N_cap = 512, 128
+
+    sub = host.sample_edges(seeds[:, 0], seeds[:, 1], seeds[:, 2],
+                            E_cap, N_cap, rng_seed=7)
+    out = jax.jit(
+        lambda s, m, k: sample_edges_device(
+            dev, s, m, k, fanouts, E_cap, N_cap)
+    )(seeds, np.ones(8, bool), jax.random.PRNGKey(0))
+
+    host_edges = set(sub.edge_ids[sub.edge_mask].tolist())
+    dev_edges = set(np.asarray(out["edge_gather"])[
+        np.asarray(out["edge_mask"])].tolist())
+    assert host_edges == dev_edges
+    assert int(out["num_dropped"]) == sub.num_dropped == 0
+
+    # node ordering contract: sorted unique — must match exactly
+    host_nodes = sub.node_ids[sub.node_mask]
+    dev_nodes = np.asarray(out["node_gather"])[np.asarray(out["node_mask"])]
+    np.testing.assert_array_equal(host_nodes, dev_nodes)
+
+    # seed lanes come first, in input order
+    np.testing.assert_array_equal(
+        np.asarray(out["edge_gather"])[:8], seeds[:, 2])
+
+    # relabel consistency: local ids map back to the global endpoints
+    ei = np.asarray(out["edge_index"])
+    em = np.asarray(out["edge_mask"])
+    gsrc = dev_nodes_at(out, ei[0][em])
+    gdst = dev_nodes_at(out, ei[1][em])
+    eids = np.asarray(out["edge_gather"])[em]
+    np.testing.assert_array_equal(gsrc, src[eids])
+    np.testing.assert_array_equal(gdst, dst[eids])
+
+
+def dev_nodes_at(out, local_ids):
+    return np.asarray(out["node_gather"])[local_ids]
+
+
+def test_invariants_random_fanout():
+    rng = np.random.RandomState(1)
+    src, dst, n = random_graph(rng, num_nodes=30, num_edges=600)  # dense
+    fanouts = (4, 4)
+    _, dev = make_pair(src, dst, n, fanouts)
+    seeds = seed_batch(rng, src, dst, b=6)
+    E_cap, N_cap = 256, 128
+    fn = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, fanouts, E_cap, N_cap))
+
+    for trial in range(3):
+        out = fn(seeds, np.ones(6, bool), jax.random.PRNGKey(trial))
+        eg = np.asarray(out["edge_gather"])
+        em = np.asarray(out["edge_mask"])
+        kept = eg[em]
+        # no duplicate edges
+        assert len(set(kept.tolist())) == len(kept)
+        # seed block first
+        np.testing.assert_array_equal(eg[:6], seeds[:, 2])
+        # all kept edges exist and relabel consistently
+        ei = np.asarray(out["edge_index"])
+        np.testing.assert_array_equal(
+            dev_nodes_at(out, ei[0][em]), src[kept])
+        np.testing.assert_array_equal(
+            dev_nodes_at(out, ei[1][em]), dst[kept])
+        # per-hop fanout bound: hop-1 edges <= 2B * f1 (+dedup), total
+        # bounded by capacity
+        assert em.sum() <= E_cap
+
+    # different keys -> different subgraphs (stochastic when deg > fanout)
+    o1 = fn(seeds, np.ones(6, bool), jax.random.PRNGKey(10))
+    o2 = fn(seeds, np.ones(6, bool), jax.random.PRNGKey(11))
+    s1 = set(np.asarray(o1["edge_gather"])[np.asarray(o1["edge_mask"])]
+             .tolist())
+    s2 = set(np.asarray(o2["edge_gather"])[np.asarray(o2["edge_mask"])]
+             .tolist())
+    assert s1 != s2
+    # same key -> identical
+    o3 = fn(seeds, np.ones(6, bool), jax.random.PRNGKey(10))
+    s3 = set(np.asarray(o3["edge_gather"])[np.asarray(o3["edge_mask"])]
+             .tolist())
+    assert s1 == s3
+
+
+def test_padded_seed_lanes_excluded():
+    rng = np.random.RandomState(2)
+    src, dst, n = random_graph(rng)
+    # deterministic regime (fanout >= degree) so batch width can't change
+    # the RNG draws — padded vs unpadded runs must agree exactly
+    _, dev = make_pair(src, dst, n, (512, 512))
+    seeds = seed_batch(rng, src, dst, b=8)
+    mask = np.array([True] * 5 + [False] * 3)
+    out = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, (512, 512), 1024, 128))(
+            seeds, mask, jax.random.PRNGKey(0))
+    em = np.asarray(out["edge_mask"])
+    np.testing.assert_array_equal(em[:8], mask)
+    # padded seeds' endpoints must not enter the node set (unless reached
+    # from real seeds)
+    real_out = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, (512, 512), 1024, 128))(
+            seeds[:5], np.ones(5, bool), jax.random.PRNGKey(0))
+    nodes_padded = set(np.asarray(out["node_gather"])[
+        np.asarray(out["node_mask"])].tolist())
+    nodes_real = set(np.asarray(real_out["node_gather"])[
+        np.asarray(real_out["node_mask"])].tolist())
+    assert nodes_padded == nodes_real
+
+
+def test_capacity_truncation_counted():
+    rng = np.random.RandomState(3)
+    src, dst, n = random_graph(rng, num_nodes=20, num_edges=500)
+    host, dev = make_pair(src, dst, n, (64, 64))
+    seeds = seed_batch(rng, src, dst, b=4)
+    tight_E = 32
+    out = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, (64, 64), tight_E, 64))(
+            seeds, np.ones(4, bool), jax.random.PRNGKey(0))
+    loose = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, (64, 64), 1024, 64))(
+            seeds, np.ones(4, bool), jax.random.PRNGKey(0))
+    total_kept = int(np.asarray(loose["edge_mask"]).sum())
+    kept = int(np.asarray(out["edge_mask"]).sum())
+    assert int(out["num_dropped"]) == total_kept - kept > 0

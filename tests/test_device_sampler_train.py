@@ -1,0 +1,58 @@
+"""End-to-end training with the in-jit device sampler (sampler="device")."""
+import os
+
+import numpy as np
+import pytest
+
+from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
+from rmm_tpu.train.trainer import Trainer
+from rmm_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def small_ds(tmp_path_factory):
+    csv = str(tmp_path_factory.mktemp("devsamp") / "aml.csv")
+    write_synthetic_aml_csv(csv, num_rows=800, num_accounts=120, seed=0)
+    return csv
+
+
+def make(csv, **over):
+    kw = dict(sampler="device")
+    kw.update(over)
+    cfg = Config(model="tabgnn", data=csv, task="edge_classification",
+                 batch_size=32, n_hidden=8, n_gnn_layers=1,
+                 num_neighs=(4, 4), epochs=1, steps_per_dispatch=2,
+                 testing=True, **kw)
+    ds = IBMTransactionsAML(root=csv, khop_neighbors=cfg.num_neighs,
+                            channels=cfg.n_hidden)
+    return cfg, ds, Trainer(cfg, ds)
+
+
+def test_device_sampler_trains_and_evaluates(small_ds):
+    cfg, ds, tr = make(small_ds)
+    assert tr._use_device_sampler() or os.environ.get(
+        "JAX_PLATFORMS") != "cpu"  # explicit "device" wins even on cpu
+    view = ds.edges.split()[0]
+    m0 = tr.train_epoch(view, 0)
+    assert np.isfinite(m0["loss"])
+    assert 0.0 <= m0["drop_rate"] <= 1.0
+    ev = tr.evaluate(ds.edges.split()[1], "val")
+    assert 0.0 <= ev["f1"] <= 1.0
+
+    # epoch freshness: device path must also resample per epoch — params
+    # keep moving and the loss changes
+    m1 = tr.train_epoch(view, 1)
+    assert m1["loss"] != m0["loss"]
+
+
+def test_device_and_host_paths_agree_on_metric_scale(small_ds):
+    """Not bit-identical (different samplers) but both must learn."""
+    _, ds_d, tr_d = make(small_ds)
+    _, ds_h, tr_h = make(small_ds, sampler="host")
+    vd = ds_d.edges.split()[0]
+    vh = ds_h.edges.split()[0]
+    for ep in range(2):
+        ld = tr_d.train_epoch(vd, ep)["loss"]
+        lh = tr_h.train_epoch(vh, ep)["loss"]
+    assert np.isfinite(ld) and np.isfinite(lh)
+    assert abs(ld - lh) < 1.0
