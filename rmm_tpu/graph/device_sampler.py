@@ -156,6 +156,110 @@ def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
     return eids, nbrs
 
 
+def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
+                node_capacity, sent_node, sent_edge):
+    """Shared hop loop: returns concatenated candidate edge ids."""
+    views = [(dg.indptr, dg.nbr, dg.eid)]
+    if dg.out_indptr is not None:
+        views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
+    cand_eids = []
+    for h, fanout in enumerate(fanouts):
+        nbr_parts = []
+        for indptr, nbr_arr, eid_arr in views:
+            key, kh = jax.random.split(key)
+            eids, nbrs = _expand_hop(indptr, nbr_arr, eid_arr, frontier,
+                                     fmask, int(fanout), kh, sent_node,
+                                     sent_edge)
+            cand_eids.append(eids.reshape(-1))
+            nbr_parts.append(nbrs.reshape(-1))
+        if h + 1 < len(fanouts):
+            nxt = jnp.concatenate(nbr_parts)
+            new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
+            frontier = _unique_fill(new, node_capacity, sent_node)
+            fmask = frontier != sent_node
+            node_set = _unique_fill(
+                jnp.concatenate([node_set, frontier]), node_capacity,
+                sent_node)
+    return jnp.concatenate(cand_eids)
+
+
+def sample_nodes_device(
+    dg: DeviceGraph,
+    seed_nodes: jnp.ndarray,     # [B] int32
+    seed_mask: jnp.ndarray,      # [B] bool
+    key: jnp.ndarray,
+    fanouts: Sequence[int],
+    edge_capacity: int,
+    node_capacity: int,
+):
+    """In-jit node-seeded k-hop sampling.
+
+    Node ordering contract (host ``_numpy_sample_nodes``,
+    ``src/utils/batch_processing.py:40-47``): seed nodes occupy lanes
+    [0, B) in input order; the remaining sampled nodes follow sorted.
+    Assumes the B seed nodes are distinct (loaders sample nodes without
+    replacement); duplicate seeds relabel to their first occurrence.
+    """
+    B = seed_nodes.shape[0]
+    sent_node = jnp.int32(dg.num_nodes)
+    sent_edge = jnp.int32(dg.src.shape[0])
+    seeds_m = jnp.where(seed_mask, seed_nodes, sent_node)
+    node_set = _unique_fill(seeds_m, node_capacity, sent_node)
+
+    cand = _expand_all(dg, seed_nodes, seed_mask, node_set, key, fanouts,
+                       node_capacity, sent_node, sent_edge)
+
+    uniq = _unique_fill(cand, int(edge_capacity), sent_edge)
+    edge_mask = uniq != sent_edge
+    distinct = _count_distinct(cand, sent_edge)
+    num_dropped = jnp.maximum(distinct - edge_mask.sum(), 0)
+    edge_gather = jnp.where(edge_mask, uniq, 0).astype(jnp.int32)
+
+    src_g = jnp.where(edge_mask, dg.src[edge_gather], sent_node)
+    dst_g = jnp.where(edge_mask, dg.dst[edge_gather], sent_node)
+    ends = jnp.concatenate([src_g, dst_g])
+    # rest = sampled endpoints that are not seeds, sorted
+    rest_cand = jnp.where(_isin_sorted(jnp.sort(seeds_m), ends), sent_node,
+                          ends)
+    R_n = int(node_capacity) - B
+    if R_n <= 0:
+        raise ValueError("node_capacity must exceed the seed batch size")
+    rest = _unique_fill(rest_cand, R_n, sent_node)
+    rest_mask = rest != sent_node
+    n_distinct = _count_distinct(rest_cand, sent_node)
+    num_node_dropped = jnp.maximum(n_distinct - rest_mask.sum(), 0)
+
+    node_gather = jnp.concatenate(
+        [jnp.where(seed_mask, seed_nodes, 0),
+         jnp.where(rest_mask, rest, 0)]).astype(jnp.int32)
+    node_mask = jnp.concatenate([seed_mask, rest_mask])
+
+    def relabel(g):
+        # seed lanes win (first occurrence); else offset into sorted rest
+        eq = g[:, None] == seeds_m[None, :]          # [E_cap, B]
+        in_seed = eq.any(axis=1)
+        seed_pos = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        p = jnp.clip(jnp.searchsorted(rest, g), 0, R_n - 1).astype(jnp.int32)
+        in_rest = rest[p] == g
+        local = jnp.where(in_seed, seed_pos, B + p)
+        return local, in_seed | in_rest
+
+    lsrc, ok_s = relabel(src_g)
+    ldst, ok_d = relabel(dst_g)
+    edge_mask = edge_mask & ok_s & ok_d
+    edge_index = jnp.stack([jnp.where(edge_mask, lsrc, 0),
+                            jnp.where(edge_mask, ldst, 0)])
+    return {
+        "edge_gather": edge_gather,
+        "edge_mask": edge_mask,
+        "edge_index": edge_index,
+        "node_gather": node_gather,
+        "node_mask": node_mask,
+        "num_dropped": num_dropped,
+        "num_node_dropped": num_node_dropped,
+    }
+
+
 def sample_edges_device(
     dg: DeviceGraph,
     seeds: jnp.ndarray,          # [B, 3] int32 (src, dst, edge_id)
@@ -183,30 +287,8 @@ def sample_edges_device(
     node_set = _unique_fill(
         jnp.concatenate([seed_src, seed_dst]), node_capacity, sent_node)
 
-    views = [(dg.indptr, dg.nbr, dg.eid)]
-    if dg.out_indptr is not None:
-        views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
-
-    cand_eids = []
-    for h, fanout in enumerate(fanouts):
-        nbr_parts = []
-        for v, (indptr, nbr_arr, eid_arr) in enumerate(views):
-            key, kh = jax.random.split(key)
-            eids, nbrs = _expand_hop(indptr, nbr_arr, eid_arr, frontier,
-                                     fmask, int(fanout), kh, sent_node,
-                                     sent_edge)
-            cand_eids.append(eids.reshape(-1))
-            nbr_parts.append(nbrs.reshape(-1))
-        if h + 1 < len(fanouts):
-            nxt = jnp.concatenate(nbr_parts)
-            new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
-            frontier = _unique_fill(new, node_capacity, sent_node)
-            fmask = frontier != sent_node
-            node_set = _unique_fill(
-                jnp.concatenate([node_set, frontier]), node_capacity,
-                sent_node)
-
-    cand = jnp.concatenate(cand_eids)
+    cand = _expand_all(dg, frontier, fmask, node_set, key, fanouts,
+                       node_capacity, sent_node, sent_edge)
     # drop candidates that are seed edges (seed lanes already carry them)
     seed_sorted = jnp.sort(seed_eid)
     cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)

@@ -19,7 +19,11 @@ import numpy as np
 import optax
 
 from ..frame.loader import DataLoader
-from ..graph.device_sampler import DeviceGraph, sample_edges_device
+from ..graph.device_sampler import (
+    DeviceGraph,
+    sample_edges_device,
+    sample_nodes_device,
+)
 from ..nn.encoders import make_stypewise_encoder
 from ..utils.batch import GraphBatch, SeedBatch
 from ..utils.config import Config
@@ -151,12 +155,6 @@ class Trainer:
     # -- device-side sampling ------------------------------------------
     def _use_device_sampler(self) -> bool:
         mode = getattr(self.cfg, "sampler", "auto")
-        if "node" in self.cfg.task:
-            # node-seeded device sampling not yet implemented — host path
-            if mode == "device":
-                logger.warning("sampler=device not available for node-"
-                               "seeded tasks yet; using host sampler")
-            return False
         if mode == "device":
             return True
         if mode == "host":
@@ -185,24 +183,44 @@ class Trainer:
 
             pidx, pcount = process_info()
             items = shard_stream(items, pidx, pcount)
+        node_task = "node" in cfg.task
+        ignore = getattr(self.dataset, "ignore_label", None)
         for i, (tf, valid) in items:
             by = np.asarray(tf.y)
             mask = np.zeros(len(by), bool)
             mask[:valid] = True
-            yield SeedBatch(
-                seeds=by[:, -3:].astype(np.int32),
-                y=by[:, :-3].astype(np.float32),
-                seed_mask=mask,
-                sampler_seed=np.uint32(
-                    mix_seed(cfg.seed, epoch, i) & 0xFFFFFFFF))
+            s = np.uint32(mix_seed(cfg.seed, epoch, i) & 0xFFFFFFFF)
+            if node_task:
+                ids = by[:, 1].astype(np.int32)
+                seeds = np.stack([ids, np.zeros_like(ids),
+                                  np.zeros_like(ids)], axis=1)
+                lmask = mask.copy()
+                if ignore is not None:
+                    lmask &= by[:, 0] != ignore
+                yield SeedBatch(seeds=seeds,
+                                y=by[:, :1].astype(np.float32),
+                                seed_mask=lmask, sampler_seed=s,
+                                sample_mask=mask)
+            else:
+                yield SeedBatch(
+                    seeds=by[:, -3:].astype(np.int32),
+                    y=by[:, :-3].astype(np.float32),
+                    seed_mask=mask, sampler_seed=s)
 
     def _materialize_dev(self, sb: SeedBatch, dgraph: DeviceGraph):
-        """In-jit: sample the k-hop subgraph around the seed edges."""
+        """In-jit: sample the k-hop subgraph around the seeds."""
         cfg = self.cfg
         key = jax.random.PRNGKey(sb.sampler_seed)
-        out = sample_edges_device(
-            dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
-            cfg.edge_capacity, cfg.node_capacity)
+        if "node" in cfg.task:
+            smask = (sb.sample_mask if sb.sample_mask is not None
+                     else sb.seed_mask)
+            out = sample_nodes_device(
+                dgraph, sb.seeds[:, 0], smask, key, cfg.num_neighs,
+                cfg.edge_capacity, cfg.node_capacity)
+        else:
+            out = sample_edges_device(
+                dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
+                cfg.edge_capacity, cfg.node_capacity)
         batch = GraphBatch(
             edge_gather=out["edge_gather"], edge_mask=out["edge_mask"],
             edge_index=out["edge_index"], node_gather=out["node_gather"],

@@ -30,13 +30,19 @@ class SeedBatch:
     subgraph occupies. The k-hop expansion happens inside the jitted step.
     """
 
-    seeds: np.ndarray         # [B, 3] int32 (src, dst, edge_id)
+    seeds: np.ndarray         # [B, 3] int32 (src, dst, edge_id); node-
+                              # seeded tasks put the node id in column 0
     y: Optional[np.ndarray]   # [B, T] packed target (leading slots)
-    seed_mask: np.ndarray     # [B] bool
+    seed_mask: np.ndarray     # [B] bool — loss mask (excludes padding AND
+                              # ignore-label rows)
     sampler_seed: np.ndarray  # [] uint32 — deterministic per (seed,epoch,i)
+    sample_mask: Optional[np.ndarray] = None  # [B] bool — which lanes seed
+                              # the expansion (defaults to seed_mask; node
+                              # tasks keep ignore-label rows here)
 
     def tree_flatten(self):
-        return (self.seeds, self.y, self.seed_mask, self.sampler_seed), None
+        return (self.seeds, self.y, self.seed_mask, self.sampler_seed,
+                self.sample_mask), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -9,7 +9,11 @@ import jax
 import numpy as np
 import pytest
 
-from rmm_tpu.graph.device_sampler import DeviceGraph, sample_edges_device
+from rmm_tpu.graph.device_sampler import (
+    DeviceGraph,
+    sample_edges_device,
+    sample_nodes_device,
+)
 from rmm_tpu.graph.sampler import NeighborSampler
 
 
@@ -145,6 +149,37 @@ def test_padded_seed_lanes_excluded():
     nodes_real = set(np.asarray(real_out["node_gather"])[
         np.asarray(real_out["node_mask"])].tolist())
     assert nodes_padded == nodes_real
+
+
+def test_node_seeded_exact_match_when_fanout_exceeds_degree():
+    rng = np.random.RandomState(5)
+    src, dst, n = random_graph(rng)
+    fanouts = (512, 512)
+    host, dev = make_pair(src, dst, n, fanouts)
+    seed_nodes = rng.choice(n, size=6, replace=False).astype(np.int32)
+    E_cap, N_cap = 512, 128
+
+    sub = host.sample_nodes(seed_nodes.astype(np.int64), E_cap, N_cap,
+                            rng_seed=3)
+    out = jax.jit(lambda s, m, k: sample_nodes_device(
+        dev, s, m, k, fanouts, E_cap, N_cap))(
+            seed_nodes, np.ones(6, bool), jax.random.PRNGKey(0))
+
+    host_edges = set(sub.edge_ids[sub.edge_mask].tolist())
+    dev_edges = set(np.asarray(out["edge_gather"])[
+        np.asarray(out["edge_mask"])].tolist())
+    assert host_edges == dev_edges
+    # node contract: seeds first in input order, then sorted rest
+    host_nodes = sub.node_ids[sub.node_mask]
+    dev_nodes = np.asarray(out["node_gather"])[np.asarray(out["node_mask"])]
+    np.testing.assert_array_equal(host_nodes, dev_nodes)
+    np.testing.assert_array_equal(dev_nodes[:6], seed_nodes)
+    # relabel consistency
+    ei = np.asarray(out["edge_index"])
+    em = np.asarray(out["edge_mask"])
+    eids = np.asarray(out["edge_gather"])[em]
+    np.testing.assert_array_equal(dev_nodes_at(out, ei[0][em]), src[eids])
+    np.testing.assert_array_equal(dev_nodes_at(out, ei[1][em]), dst[eids])
 
 
 def test_capacity_truncation_counted():

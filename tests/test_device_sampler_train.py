@@ -45,6 +45,28 @@ def test_device_sampler_trains_and_evaluates(small_ds):
     assert m1["loss"] != m0["loss"]
 
 
+def test_node_task_device_sampler(tmp_path):
+    from rmm_tpu.datasets.elliptic import EllipticBitcoin
+    from rmm_tpu.datasets.synthetic import write_synthetic_node_dataset
+
+    root = write_synthetic_node_dataset(str(tmp_path / "ell"),
+                                        family="elliptic")
+    ds = EllipticBitcoin(root=root, khop_neighbors=(4, 4),
+                         edge_capacity=1024, node_capacity=512)
+    cfg = Config(model="tabgnn", task="node_classification", n_classes=2,
+                 batch_size=64, epochs=1, n_hidden=16, n_gnn_layers=1,
+                 num_neighs=(4, 4), lr=1e-3, sampler="device",
+                 edge_capacity=1024, node_capacity=512, testing=True)
+    tr = Trainer(cfg, ds)
+    hist, best = tr.fit()
+    assert np.isfinite(hist[-1]["loss"])
+    # ignore-label rows excluded from the loss mask but still sample
+    sb = next(iter(tr._seed_batches(ds.nodes.split()[0], "train")))
+    labels = np.asarray(sb.y[:, 0])
+    assert not (labels[np.asarray(sb.seed_mask)] == 2).any()
+    assert sb.sample_mask.sum() >= sb.seed_mask.sum()
+
+
 def test_device_and_host_paths_agree_on_metric_scale(small_ds):
     """Not bit-identical (different samplers) but both must learn."""
     _, ds_d, tr_d = make(small_ds)
