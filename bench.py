@@ -47,6 +47,12 @@ TRAIN_K = 33            # scan steps per dispatch for the slope method
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
+def time_of(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 # ---------------------------------------------------------------------------
 # encode+forward (round-1 metric, kept for continuity)
 # ---------------------------------------------------------------------------
@@ -159,19 +165,35 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
     cfg, ds, tr = build_trainer(rows)
     view = ds.edges.split()[0]
 
-    # --- host sampler throughput ------------------------------------------
+    # --- host sampler throughput (kept as its own metric) -----------------
     t0 = time.perf_counter()
-    batches = []
+    host_batches = []
     for gb in tr._batches(view, "train", epoch=0):
-        batches.append(gb)
-        if len(batches) >= k:
+        host_batches.append(gb)
+        if len(host_batches) >= k:
             break
     t1 = time.perf_counter()
-    sampler_rps = len(batches) * cfg.batch_size / (t1 - t0)
+    sampler_rps = len(host_batches) * cfg.batch_size / (t1 - t0)
+
+    # --- device train-step time (slope method over the scan dispatch) ----
+    # time the step the e2e path actually runs: with in-jit device-side
+    # sampling when active, host-fed batches otherwise
+    use_dev = tr._use_device_sampler()
+    if use_dev:
+        batches = []
+        for sb in tr._seed_batches(view, "train", epoch=0):
+            batches.append(sb)
+            if len(batches) >= k:
+                break
+        extra = (tr._dgraph("train"),)
+        step_fn = tr._scan_step_dev
+    else:
+        batches = host_batches
+        extra = ()
+        step_fn = tr._scan_step
     while len(batches) < k:
         batches.append(batches[-1])
 
-    # --- device train-step time (slope method over the scan dispatch) ----
     def stack(n):
         return jax.tree_util.tree_map(
             lambda *xs: np.stack(xs) if xs[0] is not None else None,
@@ -180,19 +202,20 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
     def dispatch(stacked, n):
         rngs = jax.random.split(jax.random.PRNGKey(0), n)
         real = np.ones(n, bool)
-        out = tr._scan_step(tr.variables, tr.opt_state, stacked, rngs, real,
-                            tr.edge_table, tr.node_table)
-        return jax.block_until_ready(out)
+        out = step_fn(tr.variables, tr.opt_state, stacked, rngs, real,
+                      tr.edge_table, tr.node_table, *extra)
+        # force REAL execution: device_get of the loss vector — through the
+        # TPU tunnel block_until_ready can return before work completes,
+        # which made async-dispatch timings 10-400x too optimistic
+        jax.device_get(out[2])
+        return out
 
     s1, sk = stack(1), stack(k)
     dispatch(s1, 1)          # compile
     dispatch(sk, k)          # compile
-    t0 = time.perf_counter()
-    dispatch(s1, 1)
-    t1 = time.perf_counter()
-    dispatch(sk, k)
-    t2 = time.perf_counter()
-    dt = max((t2 - t1) - (t1 - t0), 1e-9)
+    t1 = min(time_of(lambda: dispatch(s1, 1)) for _ in range(3))
+    tk = min(time_of(lambda: dispatch(sk, k)) for _ in range(3))
+    dt = max(tk - t1, 1e-9)
     step_time = dt / (k - 1)
     device_rps = cfg.batch_size / step_time
 
@@ -201,9 +224,9 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
     try:
         rngs = jax.random.split(jax.random.PRNGKey(0), k)
         real = np.ones(k, bool)
-        cost = tr._scan_step.lower(
+        cost = step_fn.lower(
             tr.variables, tr.opt_state, sk, rngs, real, tr.edge_table,
-            tr.node_table).compile().cost_analysis()
+            tr.node_table, *extra).compile().cost_analysis()
         if cost and "flops" in cost:
             mfu = (float(cost["flops"]) / k) / step_time / PEAK_FLOPS
     except Exception:

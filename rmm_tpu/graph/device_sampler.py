@@ -119,11 +119,33 @@ def _unique_fill(x: jnp.ndarray, size: int, fill) -> jnp.ndarray:
     return jnp.unique(x, size=size, fill_value=fill)
 
 
-def _count_distinct(x: jnp.ndarray, sentinel) -> jnp.ndarray:
+def _take_marked(x: jnp.ndarray, marks: jnp.ndarray, size: int, sentinel):
+    """Gather the first ``size`` marked lanes of ``x`` (stable). TPU-fast:
+    cumsum + binary search + gather, no scatter. Returns (buffer [size],
+    total marked count)."""
+    cs = jnp.cumsum(marks)
+    total = cs[-1]
+    j = jnp.searchsorted(cs, jnp.arange(1, size + 1, dtype=cs.dtype))
+    j = jnp.clip(j, 0, x.shape[0] - 1)
+    buf = jnp.where(jnp.arange(size) < total, x[j], sentinel)
+    return buf, total
+
+
+def _unique_count(x: jnp.ndarray, size: int, sentinel):
+    """(sorted-unique buffer [size] with sentinel fill, distinct count) in
+    ONE sort — ``jnp.unique`` + a separate count would sort twice."""
     xs = jnp.sort(x)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), xs[1:] != xs[:-1]]) & (xs != sentinel)
-    return first.sum()
+    return _take_marked(xs, first, size, sentinel)
+
+
+def _compact(x: jnp.ndarray, size: int, sentinel):
+    """Stable O(n) compaction of non-sentinel lanes into a fixed-size
+    buffer — far cheaper than sorting the full ragged candidate
+    rectangle. Returns (buffer [size], overflow count)."""
+    buf, total = _take_marked(x, x != sentinel, size, sentinel)
+    return buf, jnp.maximum(total - size, 0)
 
 
 def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
@@ -209,10 +231,11 @@ def sample_nodes_device(
     cand = _expand_all(dg, seed_nodes, seed_mask, node_set, key, fanouts,
                        node_capacity, sent_node, sent_edge)
 
-    uniq = _unique_fill(cand, int(edge_capacity), sent_edge)
+    slack = 2 if dg.out_indptr is not None else 1
+    cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
+    uniq, distinct = _unique_count(cand, int(edge_capacity), sent_edge)
     edge_mask = uniq != sent_edge
-    distinct = _count_distinct(cand, sent_edge)
-    num_dropped = jnp.maximum(distinct - edge_mask.sum(), 0)
+    num_dropped = jnp.maximum(distinct - edge_mask.sum(), 0) + overflow
     edge_gather = jnp.where(edge_mask, uniq, 0).astype(jnp.int32)
 
     src_g = jnp.where(edge_mask, dg.src[edge_gather], sent_node)
@@ -224,9 +247,8 @@ def sample_nodes_device(
     R_n = int(node_capacity) - B
     if R_n <= 0:
         raise ValueError("node_capacity must exceed the seed batch size")
-    rest = _unique_fill(rest_cand, R_n, sent_node)
+    rest, n_distinct = _unique_count(rest_cand, R_n, sent_node)
     rest_mask = rest != sent_node
-    n_distinct = _count_distinct(rest_cand, sent_node)
     num_node_dropped = jnp.maximum(n_distinct - rest_mask.sum(), 0)
 
     node_gather = jnp.concatenate(
@@ -296,10 +318,16 @@ def sample_edges_device(
     R = int(edge_capacity) - B
     if R <= 0:
         raise ValueError("edge_capacity must exceed the seed batch size")
-    uniq = _unique_fill(cand, R, sent_edge)
+    # compact the ragged candidate rectangle (mostly-invalid lanes when
+    # degree << fanout) BEFORE the dedup sort — the sort then runs over
+    # ~edge_capacity lanes instead of frontier*fanout lanes (~10x less sort
+    # work at the config of record). 2x slack under undirected expansion:
+    # an edge can be drawn from both of its endpoints' views.
+    slack = 2 if dg.out_indptr is not None else 1
+    cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
+    uniq, distinct = _unique_count(cand, R, sent_edge)
     kept_mask = uniq != sent_edge
-    distinct = _count_distinct(cand, sent_edge)
-    num_dropped = jnp.maximum(distinct - kept_mask.sum(), 0)
+    num_dropped = jnp.maximum(distinct - kept_mask.sum(), 0) + overflow
 
     edge_gather = jnp.concatenate(
         [jnp.where(seed_mask, seeds[:, 2], 0),
@@ -309,9 +337,8 @@ def sample_edges_device(
     src_g = jnp.where(edge_mask, dg.src[edge_gather], sent_node)
     dst_g = jnp.where(edge_mask, dg.dst[edge_gather], sent_node)
     cand_nodes = jnp.concatenate([src_g, dst_g])
-    nodes = _unique_fill(cand_nodes, node_capacity, sent_node)
+    nodes, n_distinct = _unique_count(cand_nodes, node_capacity, sent_node)
     node_mask = nodes != sent_node
-    n_distinct = _count_distinct(cand_nodes, sent_node)
     num_node_dropped = jnp.maximum(n_distinct - node_mask.sum(), 0)
 
     def relabel(g):
