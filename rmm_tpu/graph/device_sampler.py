@@ -205,6 +205,74 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
     return jnp.concatenate(cand_eids)
 
 
+def negative_samples_device(
+    edge_index: jnp.ndarray,   # [2, E_cap] local subgraph edges
+    edge_mask: jnp.ndarray,    # [E_cap]
+    pos_src: jnp.ndarray,      # [B] local ids
+    pos_dst: jnp.ndarray,      # [B]
+    pos_mask: jnp.ndarray,     # [B]
+    num_neg: int,
+    node_capacity: int,        # static local-id bound (key stride)
+    num_nodes,                 # traced: count of valid local nodes
+    key: jnp.ndarray,
+    rounds: int = 8,
+):
+    """In-jit negative sampling (device port of ``rmm_negative_sample``,
+    ``graph_engine.cpp:300-348`` / reference ``negative_sampling.cpp``).
+
+    Per positive edge (s, d): the first ``num_neg//2`` negatives keep s and
+    corrupt d, the rest keep d and corrupt s. A corruption v is banned when
+    v ∈ {s, d} ∪ adj[s] ∪ adj[d] (undirected batch-subgraph adjacency).
+    Bounded rejection: ``rounds`` redraw rounds instead of the reference's
+    unbounded loop; returns (neg_edge_index [2, B*num_neg], residual count
+    of still-banned lanes — ~0 for sparse subgraphs, and those lanes hold
+    uniform draws rather than garbage).
+    """
+    # pair membership via a uint32 hash set: h(u,v) mixes both ids; a hash
+    # collision can only OVER-ban a candidate (a true edge always hashes to
+    # a present key), so correctness — no false negatives — is preserved
+    # without int64 keys (x64 stays off)
+    P1, P2 = jnp.uint32(0x9E3779B1), jnp.uint32(0x85EBCA6B)
+
+    def h(u, v):
+        return (u.astype(jnp.uint32) * P1) ^ (v.astype(jnp.uint32) * P2)
+
+    e0, e1 = edge_index[0], edge_index[1]
+    cpad = jnp.int32(node_capacity + 1)  # unreachable pair for masked lanes
+    keys = jnp.concatenate([
+        jnp.where(edge_mask, h(e0, e1), h(cpad, cpad)),
+        jnp.where(edge_mask, h(e1, e0), h(cpad, cpad))])
+    keys = jnp.sort(keys)
+
+    B = pos_src.shape[0]
+    s = pos_src.astype(jnp.int32)[:, None]
+    d = pos_dst.astype(jnp.int32)[:, None]
+
+    def banned(v):
+        return ((v == s) | (v == d)
+                | _isin_sorted(keys, h(s, v))
+                | _isin_sorted(keys, h(d, v)))
+
+    res = jnp.zeros((B, num_neg), jnp.int32)
+    done = jnp.zeros((B, num_neg), bool)
+    for _ in range(rounds):
+        key, kr = jax.random.split(key)
+        v = jax.random.randint(kr, (B, num_neg), 0,
+                               jnp.maximum(num_nodes, 1), dtype=jnp.int32)
+        take = ~done & ~banned(v)
+        res = jnp.where(take, v, res)
+        # keep SOME draw in never-accepted lanes so they are valid ids
+        res = jnp.where(done | take, res, v)
+        done = done | take
+    residual = (~done & pos_mask[:, None]).sum()
+
+    half = num_neg // 2
+    corrupt_dst = jnp.arange(num_neg)[None, :] < half
+    neg_src = jnp.where(corrupt_dst, s, res)
+    neg_dst = jnp.where(corrupt_dst, res, d)
+    return jnp.stack([neg_src.reshape(-1), neg_dst.reshape(-1)]), residual
+
+
 def sample_nodes_device(
     dg: DeviceGraph,
     seed_nodes: jnp.ndarray,     # [B] int32

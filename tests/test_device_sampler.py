@@ -11,6 +11,7 @@ import pytest
 
 from rmm_tpu.graph.device_sampler import (
     DeviceGraph,
+    negative_samples_device,
     sample_edges_device,
     sample_nodes_device,
 )
@@ -180,6 +181,39 @@ def test_node_seeded_exact_match_when_fanout_exceeds_degree():
     eids = np.asarray(out["edge_gather"])[em]
     np.testing.assert_array_equal(dev_nodes_at(out, ei[0][em]), src[eids])
     np.testing.assert_array_equal(dev_nodes_at(out, ei[1][em]), dst[eids])
+
+
+def test_negative_samples_device():
+    rng = np.random.RandomState(9)
+    n_nodes, n_edges, B, num_neg = 50, 120, 6, 8
+    ei = rng.randint(0, n_nodes, (2, n_edges)).astype(np.int32)
+    mask = np.ones(n_edges, bool)
+    pos = ei[:, :B]
+    neg, residual = jax.jit(lambda k: negative_samples_device(
+        ei, mask, pos[0], pos[1], np.ones(B, bool), num_neg,
+        node_capacity=n_nodes, num_nodes=n_nodes, key=k))(
+            jax.random.PRNGKey(0))
+    neg = np.asarray(neg)
+    assert neg.shape == (2, B * num_neg)
+    assert int(residual) == 0
+
+    adj = {}
+    for u, v in ei.T:
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    half = num_neg // 2
+    for i in range(B):
+        s, d = int(pos[0, i]), int(pos[1, i])
+        block = neg[:, i * num_neg:(i + 1) * num_neg]
+        # first half keeps src and corrupts dst; second half the reverse
+        np.testing.assert_array_equal(block[0, :half], s)
+        np.testing.assert_array_equal(block[1, half:], d)
+        for j in range(num_neg):
+            v = int(block[1, j] if j < half else block[0, j])
+            anchor_s, anchor_d = s, d
+            assert v not in (anchor_s, anchor_d)
+            assert v not in adj.get(anchor_s, set())
+            assert v not in adj.get(anchor_d, set())
 
 
 def test_capacity_truncation_counted():
