@@ -107,6 +107,27 @@ class DeviceGraph:
             full_src=store.src, full_dst=store.dst)
 
 
+def use_device_sampler(cfg) -> bool:
+    """Resolve the ``sampler`` config knob: explicit host/device wins;
+    "auto" = device off the CPU backend (TPU & co), host on CPU."""
+    mode = getattr(cfg, "sampler", "auto")
+    if mode == "device":
+        return True
+    if mode == "host":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def cached_dgraph(store, cache: dict, mode: str) -> "DeviceGraph":
+    """Per-split DeviceGraph, uploaded once (splits sharing a sampler
+    share the upload)."""
+    samp = store.sampler(mode)
+    key = id(samp)
+    if key not in cache:
+        cache[key] = DeviceGraph.from_store(store, mode)
+    return cache[key]
+
+
 def _isin_sorted(sorted_ref: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
     """Membership of ``vals`` in an ascending ``sorted_ref`` (with
     sentinel padding allowed — sentinels match only sentinels)."""

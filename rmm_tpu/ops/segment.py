@@ -7,8 +7,17 @@ scalers, ``src/nn/gnn/pna.py``), GINE sum aggregation, and the fused model's
 (``src/nn/models/fused.py:256-268``).
 
 All ops take STATIC-shape padded edge arrays with a validity mask: invalid
-lanes are routed to segment id ``num_segments`` (one past the end) which XLA
-drops — no host-side compaction, fully fusable under jit.
+lanes are routed to segment id ``num_segments`` (one past the end) and drop
+out of every reduction — no host-side compaction, fully jit-compatible.
+
+TPU implementation note: XLA lowers ``jax.ops.segment_*`` to scatter, which
+SERIALIZES on TPU (~100x slower than the rest of the step at production
+subgraph sizes — measured 445 ms for one PNA aggregation over 131k edges).
+Everything here is therefore SORT-based: sort edge lanes by segment id once,
+then per-segment sums become cumsum differences at segment boundaries and
+max/min become a segmented associative scan — all dense, vectorizable ops
+that XLA maps onto the VPU. ``pna_aggregate`` shares one sort across all
+four aggregators.
 """
 from __future__ import annotations
 
@@ -23,49 +32,102 @@ def _masked_ids(segment_ids: jnp.ndarray, mask: jnp.ndarray | None,
     return jnp.where(mask, segment_ids, num_segments)
 
 
+def _flatten_trailing(data):
+    if data.ndim == 1:
+        return data[:, None], ()
+    if data.ndim == 2:
+        return data, (data.shape[1],)
+    return data.reshape(data.shape[0], -1), data.shape[1:]
+
+
+def _segment_order(segment_ids, num_segments, mask):
+    """Sort lanes by (masked) segment id. Returns (order [E], sorted ids
+    [E], bounds [N+1] — start offset of each segment in the sorted order,
+    exclusive end at bounds[n+1])."""
+    ids = _masked_ids(segment_ids, mask, num_segments).astype(jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    sk = ids[order]
+    bounds = jnp.searchsorted(
+        sk, jnp.arange(num_segments + 1, dtype=jnp.int32))
+    return order, sk, bounds
+
+
+def _sums_from_sorted(d_sorted, bounds):
+    """Per-segment sums of pre-sorted rows via cumsum differences."""
+    p = jnp.cumsum(d_sorted, axis=0)
+    pz = jnp.concatenate([jnp.zeros_like(p[:1]), p], axis=0)
+    return pz[bounds[1:]] - pz[bounds[:-1]]
+
+
+def _extreme_from_sorted(d_sorted, sk, bounds, op, empty_value):
+    """Per-segment max/min of pre-sorted rows via a segmented associative
+    scan (value carried forward within a segment, reset at boundaries)."""
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])[:, None]
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, op(av, bv)), af | bf
+
+    v, _ = jax.lax.associative_scan(
+        comb, (d_sorted, jnp.broadcast_to(starts, d_sorted.shape)))
+    ends = jnp.clip(bounds[1:] - 1, 0)
+    out = v[ends]
+    count = (bounds[1:] - bounds[:-1])[:, None]
+    return jnp.where(count > 0, out, empty_value)
+
+
 def segment_sum(data, segment_ids, num_segments, mask=None):
-    ids = _masked_ids(segment_ids, mask, num_segments)
-    out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
-    return out[:num_segments]
+    d2, trail = _flatten_trailing(data)
+    order, _, bounds = _segment_order(segment_ids, num_segments, mask)
+    out = _sums_from_sorted(d2[order], bounds)
+    return out.reshape((num_segments,) + trail)
 
 
 def segment_count(segment_ids, num_segments, mask=None):
-    ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
-    return segment_sum(ones, segment_ids, num_segments, mask)
+    _, _, bounds = _segment_order(segment_ids, num_segments, mask)
+    return (bounds[1:] - bounds[:-1]).astype(jnp.float32)
 
 
 def segment_mean(data, segment_ids, num_segments, mask=None):
-    s = segment_sum(data, segment_ids, num_segments, mask)
-    n = segment_count(segment_ids, num_segments, mask)
-    n = jnp.maximum(n, 1.0)
-    return s / n.reshape((-1,) + (1,) * (data.ndim - 1))
+    d2, trail = _flatten_trailing(data)
+    order, _, bounds = _segment_order(segment_ids, num_segments, mask)
+    s = _sums_from_sorted(d2[order], bounds)
+    n = jnp.maximum((bounds[1:] - bounds[:-1]).astype(d2.dtype), 1.0)
+    return (s / n[:, None]).reshape((num_segments,) + trail)
 
 
 def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0):
-    ids = _masked_ids(segment_ids, mask, num_segments)
-    out = jax.ops.segment_max(data, ids, num_segments=num_segments + 1)
-    out = out[:num_segments]
-    n = segment_count(segment_ids, num_segments, mask)
-    empty = (n == 0).reshape((-1,) + (1,) * (data.ndim - 1))
-    return jnp.where(empty, empty_value, out)
+    d2, trail = _flatten_trailing(data)
+    order, sk, bounds = _segment_order(segment_ids, num_segments, mask)
+    out = _extreme_from_sorted(d2[order], sk, bounds, jnp.maximum,
+                               empty_value)
+    return out.reshape((num_segments,) + trail)
 
 
 def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0):
-    ids = _masked_ids(segment_ids, mask, num_segments)
-    out = jax.ops.segment_min(data, ids, num_segments=num_segments + 1)
-    out = out[:num_segments]
-    n = segment_count(segment_ids, num_segments, mask)
-    empty = (n == 0).reshape((-1,) + (1,) * (data.ndim - 1))
-    return jnp.where(empty, empty_value, out)
+    d2, trail = _flatten_trailing(data)
+    order, sk, bounds = _segment_order(segment_ids, num_segments, mask)
+    out = _extreme_from_sorted(d2[order], sk, bounds, jnp.minimum,
+                               empty_value)
+    return out.reshape((num_segments,) + trail)
 
 
 def segment_std(data, segment_ids, num_segments, mask=None, eps=1e-5):
     """sqrt(relu(E[x²] − E[x]²) + eps) per segment — PyG StdAggregation
     semantics used by PNA (``pna.py:60-61`` aggregator list)."""
-    mean = segment_mean(data, segment_ids, num_segments, mask)
-    mean2 = segment_mean(data * data, segment_ids, num_segments, mask)
+    d2, trail = _flatten_trailing(data)
+    order, _, bounds = _segment_order(segment_ids, num_segments, mask)
+    ds = d2[order]
+    both = _sums_from_sorted(jnp.concatenate([ds, ds * ds], axis=1), bounds)
+    n = jnp.maximum((bounds[1:] - bounds[:-1]).astype(d2.dtype),
+                    1.0)[:, None]
+    F = d2.shape[1]
+    mean = both[:, :F] / n
+    mean2 = both[:, F:] / n
     var = jnp.maximum(mean2 - mean * mean, 0.0)
-    return jnp.sqrt(var + eps)
+    return jnp.sqrt(var + eps).reshape((num_segments,) + trail)
 
 
 def segment_softmax(logits, segment_ids, num_segments, mask=None):
@@ -119,15 +181,27 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None):
     ``['mean','max','min','std']`` and scalers
     ``['identity','amplification','attenuation']``
     (``src/nn/models/tabgnn.py:161-169``), over padded static-shape edges.
-    Degree is clamped to ≥1 as in PyG.
-    """
-    mean = segment_mean(messages, dst, num_nodes, mask)
-    mx = segment_max(messages, dst, num_nodes, mask)
-    mn = segment_min(messages, dst, num_nodes, mask)
-    sd = segment_std(messages, dst, num_nodes, mask)
+    Degree is clamped to ≥1 as in PyG. All four aggregators share ONE sort
+    of the edge lanes (the hot op of every GNN train step)."""
+    d2, _ = _flatten_trailing(messages)
+    F = d2.shape[1]
+    order, sk, bounds = _segment_order(dst, num_nodes, mask)
+    ds = d2[order]
+    n = (bounds[1:] - bounds[:-1]).astype(d2.dtype)[:, None]
+    n1 = jnp.maximum(n, 1.0)
+    both = _sums_from_sorted(jnp.concatenate([ds, ds * ds], axis=1), bounds)
+    mean = both[:, :F] / n1
+    mean2 = both[:, F:] / n1
+    sd = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0) + 1e-5)
+    ext = _extreme_from_sorted(
+        jnp.concatenate([ds, -ds], axis=1), sk, bounds, jnp.maximum, 0.0)
+    mx, mn = ext[:, :F], -ext[:, F:]
+    empty = n <= 0
+    mx = jnp.where(empty, 0.0, mx)
+    mn = jnp.where(empty, 0.0, mn)
     agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)  # [N, 4F]
 
-    deg = jnp.maximum(degree(dst, num_nodes, mask), 1.0)
+    deg = jnp.maximum(n[:, 0], 1.0)
     log_deg = jnp.log(deg + 1.0)[:, None]
     amp = log_deg / avg_log_deg
     att = avg_log_deg / log_deg

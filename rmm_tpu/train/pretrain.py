@@ -229,6 +229,108 @@ class PretrainTrainer:
         self._train_step = jax.jit(self._step)
         self._eval_step = jax.jit(self._eval)
         self._scan_step = jax.jit(self._multi_step)
+        # device-sampling path (in-jit k-hop + negative sampling)
+        self._train_step_dev = jax.jit(self._step_dev)
+        self._eval_step_dev = jax.jit(self._eval_dev)
+        self._scan_step_dev = jax.jit(self._multi_step_dev)
+        self._dgraphs: dict = {}
+
+    # -- device-side sampling ------------------------------------------
+    def _use_device_sampler(self) -> bool:
+        from ..graph.device_sampler import use_device_sampler
+
+        return use_device_sampler(self.cfg)
+
+    def _dgraph(self, mode: str):
+        from ..graph.device_sampler import cached_dgraph
+
+        return cached_dgraph(self.dataset.graph, self._dgraphs, mode)
+
+    def _seed_batches(self, view, mode_name: str, epoch: int = 0):
+        cfg = self.cfg
+        loader = DataLoader(view.tensor_frame, cfg.batch_size,
+                            shuffle=(mode_name == "train"),
+                            seed=mix_seed(cfg.seed, epoch))
+        items = enumerate(loader)
+        if mode_name == "train":
+            from ..parallel.distributed import process_info, shard_stream
+
+            pidx, pcount = process_info()
+            items = shard_stream(items, pidx, pcount)
+        from ..utils.batch import SeedBatch
+
+        for i, (tf, valid) in items:
+            by = np.asarray(tf.y)
+            mask = np.zeros(len(by), bool)
+            mask[:valid] = True
+            yield SeedBatch(
+                seeds=by[:, -3:].astype(np.int32),
+                y=by[:, :-3].astype(np.float32),
+                seed_mask=mask,
+                sampler_seed=np.uint32(
+                    mix_seed(cfg.seed, epoch, i) & 0xFFFFFFFF))
+
+    def _materialize_dev(self, sb, dgraph):
+        """In-jit: k-hop sample + negative sampling around the seeds."""
+        from ..graph.device_sampler import (
+            negative_samples_device,
+            sample_edges_device,
+        )
+
+        cfg = self.cfg
+        ks, kn = jax.random.split(jax.random.PRNGKey(sb.sampler_seed))
+        out = sample_edges_device(
+            dgraph, sb.seeds, sb.seed_mask, ks, cfg.num_neighs,
+            cfg.edge_capacity, cfg.node_capacity)
+        b = sb.seed_mask.shape[0]
+        neg, _residual = negative_samples_device(
+            out["edge_index"], out["edge_mask"],
+            out["edge_index"][0, :b], out["edge_index"][1, :b],
+            sb.seed_mask, cfg.num_neg_samples, cfg.node_capacity,
+            out["node_mask"].sum(), kn)
+        batch = GraphBatch(
+            edge_gather=out["edge_gather"], edge_mask=out["edge_mask"],
+            edge_index=out["edge_index"], node_gather=out["node_gather"],
+            node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y,
+            neg_edge_index=neg)
+        return batch, out["num_dropped"], out["edge_mask"].sum()
+
+    def _step_dev(self, params, batch_stats, opt_state, moco_state, sb,
+                  rng, dgraph):
+        batch, dropped, kept = self._materialize_dev(sb, dgraph)
+        (params, stats, opt_state, moco_state, loss,
+         aux) = self._step(params, batch_stats, opt_state, moco_state,
+                           batch, rng)
+        return (params, stats, opt_state, moco_state, loss,
+                dict(aux, s_dropped=dropped, s_kept=kept))
+
+    def _multi_step_dev(self, params, batch_stats, opt_state, moco_state,
+                        stacked, rngs, real, dgraph):
+        def body(carry, inp):
+            params, batch_stats, opt_state, moco_state = carry
+            sb, rng, is_real = inp
+            new = self._step_dev(params, batch_stats, opt_state, moco_state,
+                                 sb, rng, dgraph)
+            n_params, n_stats, n_opt, n_moco, loss, aux = new
+
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(is_real, x, y), a, b)
+
+            carry = (sel(n_params, params), sel(n_stats, batch_stats),
+                     sel(n_opt, opt_state),
+                     sel(n_moco, moco_state) if moco_state is not None
+                     else None)
+            return carry, (loss, aux)
+
+        carry = (params, batch_stats, opt_state, moco_state)
+        carry, (losses, auxes) = jax.lax.scan(body, carry,
+                                              (stacked, rngs, real))
+        return (*carry, losses, auxes)
+
+    def _eval_dev(self, params, batch_stats, sb, dgraph):
+        batch, _, _ = self._materialize_dev(sb, dgraph)
+        return self._eval(params, batch_stats, batch)
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -346,18 +448,24 @@ class PretrainTrainer:
         window = max(int(getattr(self.cfg, "inflight_groups", 2)), 1)
         inflight = []
 
+        use_dev = self._use_device_sampler()
+        dgraph = self._dgraph("train") if use_dev else None
+
         def flush(n_real=None):
             if not pending:
                 return
             n_real = n_real if n_real is not None else len(pending)
+            extra = (dgraph,) if use_dev else ()
             if K == 1:
+                step1 = self._train_step_dev if use_dev else self._train_step
                 self.rng, k = jax.random.split(self.rng)
                 (self.params, self.batch_stats, self.opt_state,
-                 self.moco_state, loss, aux) = self._train_step(
+                 self.moco_state, loss, aux) = step1(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, pending[0], k)
+                    self.moco_state, pending[0], k, *extra)
                 results.append((loss, aux, 1))
             else:
+                stepk = self._scan_step_dev if use_dev else self._scan_step
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs) if xs[0] is not None else None,
                     *pending)
@@ -365,9 +473,9 @@ class PretrainTrainer:
                 self.rng, k = jax.random.split(self.rng)
                 rngs = jax.random.split(k, len(pending))
                 (self.params, self.batch_stats, self.opt_state,
-                 self.moco_state, losses, auxes) = self._scan_step(
+                 self.moco_state, losses, auxes) = stepk(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, stacked, rngs, real)
+                    self.moco_state, stacked, rngs, real, *extra)
                 results.append((losses[:n_real], auxes, n_real))
             pending.clear()
             inflight.append(results[-1][0])
@@ -375,10 +483,13 @@ class PretrainTrainer:
                 jax.block_until_ready(inflight.pop(0))
 
         dropped = kept = 0
-        for gb in Prefetcher(self._batches(view, "train", epoch),
-                             depth=max(2 * K, 2), device_put=False):
-            dropped += gb.num_dropped
-            kept += int(gb.edge_mask.sum())
+        src_iter = (self._seed_batches(view, "train", epoch) if use_dev
+                    else self._batches(view, "train", epoch))
+        for gb in Prefetcher(src_iter, depth=max(2 * K, 2),
+                             device_put=False):
+            if not use_dev:
+                dropped += gb.num_dropped
+                kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == K:
                 flush()
@@ -393,6 +504,13 @@ class PretrainTrainer:
         for loss, aux, n_real in results:
             tot += float(np.asarray(loss).mean())
             cnt += 1
+            if use_dev:   # in-jit truncation telemetry
+                dropped += int(np.asarray(aux["s_dropped"])[:n_real].sum()
+                               if np.asarray(aux["s_dropped"]).ndim
+                               else np.asarray(aux["s_dropped"]))
+                kept += int(np.asarray(aux["s_kept"])[:n_real].sum()
+                            if np.asarray(aux["s_kept"]).ndim
+                            else np.asarray(aux["s_kept"]))
             for key in mcm:
                 if key in aux:
                     v = np.asarray(aux[key])
@@ -414,8 +532,19 @@ class PretrainTrainer:
         ssm = SSMetric(self.pm.ssloss.num_numerical)
         acc = MCMAccumulator(self.pm.ssloss.num_numerical)
         mrrs, h1, h2, h5, h10 = [], [], [], [], []
-        for gb in self._batches(view, mode_name):
-            losses, aux = self._eval_step(self.params, self.batch_stats, gb)
+        use_dev = self._use_device_sampler()
+        if use_dev:
+            dgraph = self._dgraph(mode_name)
+            src_iter = self._seed_batches(view, mode_name)
+        else:
+            src_iter = self._batches(view, mode_name)
+        for gb in src_iter:
+            if use_dev:
+                losses, aux = self._eval_step_dev(
+                    self.params, self.batch_stats, gb, dgraph)
+            else:
+                losses, aux = self._eval_step(self.params, self.batch_stats,
+                                              gb)
             valid = int(np.asarray(gb.seed_mask).sum())
             if "lp" in self.mode:
                 pos = np.asarray(aux["pos_pred"])[:valid]

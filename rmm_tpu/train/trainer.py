@@ -21,8 +21,10 @@ import optax
 from ..frame.loader import DataLoader
 from ..graph.device_sampler import (
     DeviceGraph,
+    cached_dgraph,
     sample_edges_device,
     sample_nodes_device,
+    use_device_sampler,
 )
 from ..nn.encoders import make_stypewise_encoder
 from ..utils.batch import GraphBatch, SeedBatch
@@ -154,22 +156,10 @@ class Trainer:
 
     # -- device-side sampling ------------------------------------------
     def _use_device_sampler(self) -> bool:
-        mode = getattr(self.cfg, "sampler", "auto")
-        if mode == "device":
-            return True
-        if mode == "host":
-            return False
-        return jax.default_backend() != "cpu"
+        return use_device_sampler(self.cfg)
 
     def _dgraph(self, mode: str) -> DeviceGraph:
-        """Device-resident CSR for one split (built once, cached; splits
-        sharing a sampler share the upload)."""
-        store = self.dataset.graph
-        samp = store.sampler(mode)
-        key = id(samp)
-        if key not in self._dgraphs:
-            self._dgraphs[key] = DeviceGraph.from_store(store, mode)
-        return self._dgraphs[key]
+        return cached_dgraph(self.dataset.graph, self._dgraphs, mode)
 
     def _seed_batches(self, view, mode: str, epoch: int = 0):
         """Yield light SeedBatches (edge-seeded tasks, device sampling)."""

@@ -44,6 +44,10 @@ class SeedBatch:
         return (self.seeds, self.y, self.seed_mask, self.sampler_seed,
                 self.sample_mask), None
 
+    @property
+    def num_seeds(self) -> int:
+        return int(self.seed_mask.shape[0])
+
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
