@@ -229,10 +229,14 @@ class PretrainTrainer:
         self._train_step = jax.jit(self._step)
         self._eval_step = jax.jit(self._eval)
         self._scan_step = jax.jit(self._multi_step)
-        # device-sampling path (in-jit k-hop + negative sampling)
-        self._train_step_dev = jax.jit(self._step_dev)
-        self._eval_step_dev = jax.jit(self._eval_dev)
-        self._scan_step_dev = jax.jit(self._multi_step_dev)
+        # device-sampling path (in-jit k-hop + negative sampling) as its
+        # own compiled program feeding the train scan device-resident
+        # batches (see Trainer: two small programs compile much faster
+        # than one fused sampler+model scan; same zero-transfer hot loop)
+        self._sample_one = jax.jit(self._materialize_dev)
+        self._sample_group = jax.jit(
+            lambda stacked, dgraph: jax.vmap(
+                lambda sb: self._materialize_dev(sb, dgraph))(stacked))
         self._dgraphs: dict = {}
 
     # -- device-side sampling ------------------------------------------
@@ -294,43 +298,6 @@ class PretrainTrainer:
             node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y,
             neg_edge_index=neg)
         return batch, out["num_dropped"], out["edge_mask"].sum()
-
-    def _step_dev(self, params, batch_stats, opt_state, moco_state, sb,
-                  rng, dgraph):
-        batch, dropped, kept = self._materialize_dev(sb, dgraph)
-        (params, stats, opt_state, moco_state, loss,
-         aux) = self._step(params, batch_stats, opt_state, moco_state,
-                           batch, rng)
-        return (params, stats, opt_state, moco_state, loss,
-                dict(aux, s_dropped=dropped, s_kept=kept))
-
-    def _multi_step_dev(self, params, batch_stats, opt_state, moco_state,
-                        stacked, rngs, real, dgraph):
-        def body(carry, inp):
-            params, batch_stats, opt_state, moco_state = carry
-            sb, rng, is_real = inp
-            new = self._step_dev(params, batch_stats, opt_state, moco_state,
-                                 sb, rng, dgraph)
-            n_params, n_stats, n_opt, n_moco, loss, aux = new
-
-            def sel(a, b):
-                return jax.tree_util.tree_map(
-                    lambda x, y: jnp.where(is_real, x, y), a, b)
-
-            carry = (sel(n_params, params), sel(n_stats, batch_stats),
-                     sel(n_opt, opt_state),
-                     sel(n_moco, moco_state) if moco_state is not None
-                     else None)
-            return carry, (loss, aux)
-
-        carry = (params, batch_stats, opt_state, moco_state)
-        carry, (losses, auxes) = jax.lax.scan(body, carry,
-                                              (stacked, rngs, real))
-        return (*carry, losses, auxes)
-
-    def _eval_dev(self, params, batch_stats, sb, dgraph):
-        batch, _, _ = self._materialize_dev(sb, dgraph)
-        return self._eval(params, batch_stats, batch)
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -450,32 +417,38 @@ class PretrainTrainer:
 
         use_dev = self._use_device_sampler()
         dgraph = self._dgraph("train") if use_dev else None
+        trunc = []   # device (dropped, kept) pairs when sampling in-jit
 
         def flush(n_real=None):
             if not pending:
                 return
             n_real = n_real if n_real is not None else len(pending)
-            extra = (dgraph,) if use_dev else ()
             if K == 1:
-                step1 = self._train_step_dev if use_dev else self._train_step
+                batch = pending[0]
+                if use_dev:
+                    batch, b_drop, b_kept = self._sample_one(batch, dgraph)
+                    trunc.append((b_drop, b_kept))
                 self.rng, k = jax.random.split(self.rng)
                 (self.params, self.batch_stats, self.opt_state,
-                 self.moco_state, loss, aux) = step1(
+                 self.moco_state, loss, aux) = self._train_step(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, pending[0], k, *extra)
+                    self.moco_state, batch, k)
                 results.append((loss, aux, 1))
             else:
-                stepk = self._scan_step_dev if use_dev else self._scan_step
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs) if xs[0] is not None else None,
                     *pending)
+                if use_dev:
+                    stacked, b_drop, b_kept = self._sample_group(stacked,
+                                                                 dgraph)
+                    trunc.append((b_drop[:n_real], b_kept[:n_real]))
                 real = np.arange(len(pending)) < n_real
                 self.rng, k = jax.random.split(self.rng)
                 rngs = jax.random.split(k, len(pending))
                 (self.params, self.batch_stats, self.opt_state,
-                 self.moco_state, losses, auxes) = stepk(
+                 self.moco_state, losses, auxes) = self._scan_step(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, stacked, rngs, real, *extra)
+                    self.moco_state, stacked, rngs, real)
                 results.append((losses[:n_real], auxes, n_real))
             pending.clear()
             inflight.append(results[-1][0])
@@ -501,16 +474,12 @@ class PretrainTrainer:
 
         tot = cnt = 0.0
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        for b_drop, b_kept in trunc:   # in-jit truncation telemetry
+            dropped += int(np.asarray(b_drop).sum())
+            kept += int(np.asarray(b_kept).sum())
         for loss, aux, n_real in results:
             tot += float(np.asarray(loss).mean())
             cnt += 1
-            if use_dev:   # in-jit truncation telemetry
-                dropped += int(np.asarray(aux["s_dropped"])[:n_real].sum()
-                               if np.asarray(aux["s_dropped"]).ndim
-                               else np.asarray(aux["s_dropped"]))
-                kept += int(np.asarray(aux["s_kept"])[:n_real].sum()
-                            if np.asarray(aux["s_kept"]).ndim
-                            else np.asarray(aux["s_kept"]))
             for key in mcm:
                 if key in aux:
                     v = np.asarray(aux[key])
@@ -540,11 +509,11 @@ class PretrainTrainer:
             src_iter = self._batches(view, mode_name)
         for gb in src_iter:
             if use_dev:
-                losses, aux = self._eval_step_dev(
-                    self.params, self.batch_stats, gb, dgraph)
+                gb_s, _, _ = self._sample_one(gb, dgraph)
             else:
-                losses, aux = self._eval_step(self.params, self.batch_stats,
-                                              gb)
+                gb_s = gb
+            losses, aux = self._eval_step(self.params, self.batch_stats,
+                                          gb_s)
             valid = int(np.asarray(gb.seed_mask).sum())
             if "lp" in self.mode:
                 pos = np.asarray(aux["pos_pred"])[:valid]

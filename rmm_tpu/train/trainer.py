@@ -147,11 +147,16 @@ class Trainer:
         self._scan_step = jax.jit(self._multi_step)
         self._scan_eval = jax.jit(self._multi_eval)
         # device-sampling path: k-hop expansion runs IN-JIT from an
-        # HBM-resident CSR; the host ships SeedBatches (seed ids only)
-        self._train_step_dev = jax.jit(self._step_dev)
-        self._eval_step_dev = jax.jit(self._forward_eval_dev)
-        self._scan_step_dev = jax.jit(self._multi_step_dev)
-        self._scan_eval_dev = jax.jit(self._multi_eval_dev)
+        # HBM-resident CSR; the host ships SeedBatches (seed ids only).
+        # Sampling is its OWN compiled program (vmapped over the K batches
+        # of a dispatch group) feeding the train scan a device-resident
+        # stacked GraphBatch — two small programs compile far faster than
+        # one fused sampler+model scan, with identical zero-transfer
+        # behavior (the subgraphs never leave the device).
+        self._sample_one = jax.jit(self._materialize_dev)
+        self._sample_group = jax.jit(
+            lambda stacked, dgraph: jax.vmap(
+                lambda sb: self._materialize_dev(sb, dgraph))(stacked))
         self._dgraphs: dict = {}
 
     # -- device-side sampling ------------------------------------------
@@ -217,51 +222,6 @@ class Trainer:
             node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y)
         return batch, out["num_dropped"], out["edge_mask"].sum()
 
-    def _step_dev(self, variables, opt_state, sb: SeedBatch, rng,
-                  edge_table, node_table, dgraph: DeviceGraph):
-        batch, dropped, kept = self._materialize_dev(sb, dgraph)
-        new_vars, opt_state, loss, aux = self._step(
-            variables, opt_state, batch, rng, edge_table, node_table)
-        aux = dict(aux, s_dropped=dropped, s_kept=kept)
-        return new_vars, opt_state, loss, aux
-
-    def _multi_step_dev(self, variables, opt_state, stacked: SeedBatch,
-                        rngs, real, edge_table, node_table,
-                        dgraph: DeviceGraph):
-        def body(carry, inp):
-            variables, opt_state = carry
-            sb, rng, is_real = inp
-            new_vars, new_opt, loss, aux = self._step_dev(
-                variables, opt_state, sb, rng, edge_table, node_table,
-                dgraph)
-
-            def sel(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(is_real, a, b), new, old)
-
-            return (sel(new_vars, variables), sel(new_opt, opt_state)), (
-                loss, aux)
-
-        (variables, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (variables, opt_state), (stacked, rngs, real))
-        return variables, opt_state, losses, auxes
-
-    def _forward_eval_dev(self, variables, sb: SeedBatch, edge_table,
-                          node_table, dgraph: DeviceGraph):
-        batch, dropped, kept = self._materialize_dev(sb, dgraph)
-        loss, aux = self._forward_eval(variables, batch, edge_table,
-                                      node_table)
-        return loss, dict(aux, s_dropped=dropped, s_kept=kept)
-
-    def _multi_eval_dev(self, variables, stacked: SeedBatch, edge_table,
-                        node_table, dgraph: DeviceGraph):
-        def body(carry, sb):
-            loss, aux = self._forward_eval_dev(variables, sb, edge_table,
-                                               node_table, dgraph)
-            return carry, (loss, aux)
-
-        _, (losses, auxes) = jax.lax.scan(body, None, stacked)
-        return losses, auxes
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> GraphBatch:
@@ -432,41 +392,42 @@ class Trainer:
 
         use_dev = self._use_device_sampler()
         dgraph = self._dgraph("train") if use_dev else None
+        trunc = []   # device (dropped, kept) pairs when sampling in-jit
 
         def flush(n_real=None):
             if not pending:
                 return
             n_real = n_real if n_real is not None else len(pending)
             if len(pending) == 1 and K == 1:
-                self.rng, k = jax.random.split(self.rng)
+                batch = pending[0]
                 if use_dev:
-                    (self.variables, self.opt_state, loss,
-                     aux) = self._train_step_dev(
-                        self.variables, self.opt_state, pending[0], k,
-                        self.edge_table, self.node_table, dgraph)
-                else:
-                    (self.variables, self.opt_state, loss,
-                     aux) = self._train_step(
-                        self.variables, self.opt_state, pending[0], k,
-                        self.edge_table, self.node_table)
+                    batch, b_drop, b_kept = self._sample_one(batch, dgraph)
+                    trunc.append((b_drop, b_kept))
+                self.rng, k = jax.random.split(self.rng)
+                (self.variables, self.opt_state, loss,
+                 aux) = self._train_step(
+                    self.variables, self.opt_state, batch, k,
+                    self.edge_table, self.node_table)
                 losses.append(loss)
                 loss_counts.append(1)
                 aux_list.append(aux)
-                seed_masks.append(pending[0].seed_mask)
+                seed_masks.append(np.asarray(pending[0].seed_mask))
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs) if xs[0] is not None else None,
                     *pending)
                 real = np.arange(len(pending)) < n_real
-                masks = np.stack([g.seed_mask for g in pending])
+                masks = np.stack([np.asarray(g.seed_mask) for g in pending])
+                if use_dev:
+                    stacked, b_drop, b_kept = self._sample_group(stacked,
+                                                                 dgraph)
+                    trunc.append((b_drop[:n_real], b_kept[:n_real]))
                 self.rng, k = jax.random.split(self.rng)
                 rngs = jax.random.split(k, len(pending))
-                step_fn = self._scan_step_dev if use_dev else self._scan_step
-                extra = (dgraph,) if use_dev else ()
                 (self.variables, self.opt_state, ls,
-                 auxes) = step_fn(
+                 auxes) = self._scan_step(
                     self.variables, self.opt_state, stacked, rngs, real,
-                    self.edge_table, self.node_table, *extra)
+                    self.edge_table, self.node_table)
                 # keep only the real steps' loss/aux — the padded copies of
                 # the final batch would double-count its rows in the epoch
                 # metrics otherwise
@@ -509,10 +470,10 @@ class Trainer:
         n_batches = sum(loss_counts)
         preds, labels, scores = [], [], []
         mcm = {"loss_c": 0.0, "t_c": 0, "acc": 0.0, "loss_n": 0.0, "t_n": 0}
+        for b_drop, b_kept in trunc:   # in-jit truncation telemetry
+            dropped += int(np.asarray(b_drop).sum())
+            kept += int(np.asarray(b_kept).sum())
         for aux, mask in zip(aux_list, seed_masks):
-            if use_dev:   # truncation telemetry computed in-jit
-                dropped += int(np.asarray(aux["s_dropped"]).sum())
-                kept += int(np.asarray(aux["s_kept"]).sum())
             if "mcm" in cfg.task:
                 for k2 in mcm:
                     mcm[k2] += float(np.asarray(aux[k2]).sum())
@@ -553,27 +514,32 @@ class Trainer:
 
         use_dev = self._use_device_sampler()
         dgraph = self._dgraph(mode) if use_dev else None
-        eval_one = self._eval_step_dev if use_dev else self._eval_step
-        eval_many = self._scan_eval_dev if use_dev else self._scan_eval
-        extra = (dgraph,) if use_dev else ()
+
+        def eval_one(gb):
+            if use_dev:
+                gb_s, _, _ = self._sample_one(gb, dgraph)
+            else:
+                gb_s = gb
+            _, aux = self._eval_step(self.variables, gb_s, self.edge_table,
+                                     self.node_table)
+            results.append((aux, np.asarray(gb.seed_mask)))
 
         def flush_eval():
             if not pending:
                 return
             if len(pending) == 1:
-                _, aux = eval_one(self.variables, pending[0],
-                                  self.edge_table, self.node_table, *extra)
-                results.append((aux, pending[0].seed_mask))
+                eval_one(pending[0])
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs) if xs[0] is not None else None,
                     *pending)
-                _, auxes = eval_many(self.variables, stacked,
-                                     self.edge_table, self.node_table,
-                                     *extra)
+                if use_dev:
+                    stacked, _, _ = self._sample_group(stacked, dgraph)
+                _, auxes = self._scan_eval(self.variables, stacked,
+                                           self.edge_table, self.node_table)
                 for j, gb in enumerate(pending):
                     aux_j = jax.tree_util.tree_map(lambda a: a[j], auxes)
-                    results.append((aux_j, gb.seed_mask))
+                    results.append((aux_j, np.asarray(gb.seed_mask)))
             pending.clear()
 
         src_iter = (self._seed_batches(view, mode) if use_dev
@@ -583,10 +549,7 @@ class Trainer:
             if len(pending) == K:
                 flush_eval()
         while pending:  # trailing group: run one-by-one (stable shapes)
-            gb = pending.pop(0)
-            _, aux = eval_one(self.variables, gb, self.edge_table,
-                              self.node_table, *extra)
-            results.append((aux, gb.seed_mask))
+            eval_one(pending.pop(0))
         for aux, mask in results:
             if "mcm" in cfg.task:
                 for k in mcm:

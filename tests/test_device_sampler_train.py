@@ -78,3 +78,29 @@ def test_device_and_host_paths_agree_on_metric_scale(small_ds):
         lh = tr_h.train_epoch(vh, ep)["loss"]
     assert np.isfinite(ld) and np.isfinite(lh)
     assert abs(ld - lh) < 1.0
+
+
+def test_pretrain_device_sampler(tmp_path):
+    from rmm_tpu.datasets.base import PretrainType
+    from rmm_tpu.datasets.prepare_aml import prepare_aml_transactions
+    from rmm_tpu.datasets.synthetic import synthetic_aml_frame
+    from rmm_tpu.train.pretrain import PretrainTrainer
+
+    df = prepare_aml_transactions(
+        synthetic_aml_frame(num_rows=500, num_accounts=60, seed=0))
+    csv = str(tmp_path / "prep.csv")
+    df.to_csv(csv, index=False)
+    cfg = Config(model="tabgnnfused", data=csv, batch_size=32, epochs=1,
+                 n_hidden=16, n_gnn_layers=1, num_neighs=(4, 4),
+                 edge_capacity=256, node_capacity=256, lr=2e-4,
+                 num_neg_samples=4, steps_per_dispatch=2,
+                 sampler="device", testing=True)
+    ds = IBMTransactionsAML(
+        root=csv, pretrain={PretrainType.MASK, PretrainType.LINK_PRED},
+        khop_neighbors=cfg.num_neighs, channels=cfg.n_hidden,
+        edge_capacity=cfg.edge_capacity, node_capacity=cfg.node_capacity)
+    tr = PretrainTrainer(cfg, ds, mode="mcm-lp")
+    hist, _ = tr.fit()
+    rec = hist[-1]
+    assert np.isfinite(rec["loss"])
+    assert 0.0 < rec["val_mrr"] <= 1.0
