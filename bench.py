@@ -43,7 +43,12 @@ ROWS = 1 << 17          # synthetic AML table rows
 FWD_BATCH = 8192
 FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
 FWD_LAYERS = 3
-TRAIN_K = 33            # scan steps per dispatch for the slope method
+# scan steps per dispatch. 1 by default: the sort-based segment ops that
+# make the step 2.5x faster hit pathological TPU compile times inside a
+# lax.scan body, and with the bounded-window async dispatch the per-step
+# RTT overlaps anyway. (steps_per_dispatch>1 works with
+# RMM_SEGMENT_IMPL=scatter — compiles fine, ~2x slower per step.)
+TRAIN_K = int(os.environ.get("BENCH_TRAIN_K", 1))
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
@@ -177,7 +182,8 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
 
     # --- device train-step time (slope method over the scan dispatch) ----
     # time the step the e2e path actually runs: with in-jit device-side
-    # sampling when active, host-fed batches otherwise
+    # sampling when active (two-program: sampler feeds the scan a device-
+    # resident stacked batch), host-fed batches otherwise
     use_dev = tr._use_device_sampler()
     if use_dev:
         batches = []
@@ -185,52 +191,83 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
             batches.append(sb)
             if len(batches) >= k:
                 break
-        extra = (tr._dgraph("train"),)
-        step_fn = tr._scan_step_dev
+        dgraph = tr._dgraph("train")
     else:
         batches = host_batches
-        extra = ()
-        step_fn = tr._scan_step
+        dgraph = None
     while len(batches) < k:
         batches.append(batches[-1])
 
     def stack(n):
-        return jax.tree_util.tree_map(
+        stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs) if xs[0] is not None else None,
             *batches[:n])
+        if use_dev:
+            stacked, _, _ = tr._sample_group(stacked, dgraph)
+            jax.block_until_ready(stacked.edge_gather)
+        return stacked
 
-    def dispatch(stacked, n):
-        rngs = jax.random.split(jax.random.PRNGKey(0), n)
-        real = np.ones(n, bool)
-        out = step_fn(tr.variables, tr.opt_state, stacked, rngs, real,
-                      tr.edge_table, tr.node_table, *extra)
-        # force REAL execution: device_get of the loss vector — through the
-        # TPU tunnel block_until_ready can return before work completes,
-        # which made async-dispatch timings 10-400x too optimistic
-        jax.device_get(out[2])
-        return out
-
-    s1, sk = stack(1), stack(k)
-    dispatch(s1, 1)          # compile
-    dispatch(sk, k)          # compile
-    t1 = min(time_of(lambda: dispatch(s1, 1)) for _ in range(3))
-    tk = min(time_of(lambda: dispatch(sk, k)) for _ in range(3))
-    dt = max(tk - t1, 1e-9)
-    step_time = dt / (k - 1)
-    device_rps = cfg.batch_size / step_time
-
-    # --- MFU (model FLOPs per step from XLA cost analysis) ----------------
     mfu = None
-    try:
-        rngs = jax.random.split(jax.random.PRNGKey(0), k)
-        real = np.ones(k, bool)
-        cost = step_fn.lower(
-            tr.variables, tr.opt_state, sk, rngs, real, tr.edge_table,
-            tr.node_table, *extra).compile().cost_analysis()
-        if cost and "flops" in cost:
-            mfu = (float(cost["flops"]) / k) / step_time / PEAK_FLOPS
-    except Exception:
-        pass
+    if k == 1:
+        # single-step program (no scan): time N pipelined dispatches,
+        # force only the LAST output — device-queue ordering guarantees
+        # all N executed. (device_get, not block_until_ready: the tunnel's
+        # block can return before work completes.)
+        b0 = batches[0]
+        if use_dev:
+            b0, _, _ = tr._sample_one(b0, dgraph)
+            jax.block_until_ready(b0.edge_gather)
+        rng = jax.random.PRNGKey(0)
+
+        def dispatch1():
+            return tr._train_step(tr.variables, tr.opt_state, b0, rng,
+                                  tr.edge_table, tr.node_table)
+
+        jax.device_get(dispatch1()[2])   # compile
+        reps = 10
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [dispatch1() for _ in range(reps)]
+            jax.device_get(outs[-1][2])
+            best = min(best, time.perf_counter() - t0)
+        step_time = best / reps
+        device_rps = cfg.batch_size / step_time
+        try:
+            cost = tr._train_step.lower(
+                tr.variables, tr.opt_state, b0, rng, tr.edge_table,
+                tr.node_table).compile().cost_analysis()
+            if cost and "flops" in cost:
+                mfu = float(cost["flops"]) / step_time / PEAK_FLOPS
+        except Exception:
+            pass
+    else:
+        def dispatch(stacked, n):
+            rngs = jax.random.split(jax.random.PRNGKey(0), n)
+            real = np.ones(n, bool)
+            out = tr._scan_step(tr.variables, tr.opt_state, stacked, rngs,
+                                real, tr.edge_table, tr.node_table)
+            jax.device_get(out[2])
+            return out
+
+        s1, sk = stack(1), stack(k)
+        dispatch(s1, 1)          # compile
+        dispatch(sk, k)          # compile
+        t1 = min(time_of(lambda: dispatch(s1, 1)) for _ in range(3))
+        tk = min(time_of(lambda: dispatch(sk, k)) for _ in range(3))
+        dt = max(tk - t1, 1e-9)
+        step_time = dt / (k - 1)
+        device_rps = cfg.batch_size / step_time
+        try:
+            rngs = jax.random.split(jax.random.PRNGKey(0), k)
+            real = np.ones(k, bool)
+            cost = tr._scan_step.lower(
+                tr.variables, tr.opt_state, sk, rngs, real, tr.edge_table,
+                tr.node_table).compile().cost_analysis()
+            if cost and "flops" in cost:
+                mfu = (float(cost["flops"]) / k) / step_time / PEAK_FLOPS
+        except Exception:
+            pass
 
     # --- end-to-end epoch (sampler + prefetch + dispatch overlapped) ------
     e2e_rps = None

@@ -108,14 +108,13 @@ class DeviceGraph:
 
 
 def use_device_sampler(cfg) -> bool:
-    """Resolve the ``sampler`` config knob: explicit host/device wins;
-    "auto" = device off the CPU backend (TPU & co), host on CPU."""
+    """Resolve the ``sampler`` config knob. "auto" currently resolves to
+    the host (C++) sampler: the in-jit sampler's dedup/compaction passes
+    still cost more per batch than the C++ engine, so it is opt-in
+    (``--sampler device``) until its per-batch cost beats the host path —
+    its value today is freeing the host CPU from the hot loop."""
     mode = getattr(cfg, "sampler", "auto")
-    if mode == "device":
-        return True
-    if mode == "host":
-        return False
-    return jax.default_backend() != "cpu"
+    return mode == "device"
 
 
 def cached_dgraph(store, cache: dict, mode: str) -> "DeviceGraph":
@@ -140,11 +139,28 @@ def _unique_fill(x: jnp.ndarray, size: int, fill) -> jnp.ndarray:
     return jnp.unique(x, size=size, fill_value=fill)
 
 
+def _cumsum1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Blocked 1-D cumsum: reshape to [rows, 1024] so the scan runs across
+    full 128-lane tiles (a flat 1-D cumsum over millions of lanes maps
+    poorly onto the TPU vector unit)."""
+    n = x.shape[0]
+    blk = 1024
+    if n <= blk:
+        return jnp.cumsum(x)
+    pad = (-n) % blk
+    xp = jnp.pad(x, (0, pad))
+    m = xp.reshape(-1, blk)
+    row = jnp.cumsum(m, axis=1)
+    offs = jnp.cumsum(row[:, -1])
+    offs = jnp.concatenate([jnp.zeros((1,), x.dtype), offs[:-1]])
+    return (row + offs[:, None]).reshape(-1)[:n]
+
+
 def _take_marked(x: jnp.ndarray, marks: jnp.ndarray, size: int, sentinel):
     """Gather the first ``size`` marked lanes of ``x`` (stable). TPU-fast:
     cumsum + binary search + gather, no scatter. Returns (buffer [size],
     total marked count)."""
-    cs = jnp.cumsum(marks)
+    cs = _cumsum1d(marks.astype(jnp.int32))
     total = cs[-1]
     j = jnp.searchsorted(cs, jnp.arange(1, size + 1, dtype=cs.dtype))
     j = jnp.clip(j, 0, x.shape[0] - 1)

@@ -88,13 +88,17 @@ class MultiHeadSelfAttention(nn.Module):
             hm = (jnp.arange(C) // hd)[None, :] == jnp.arange(
                 self.nhead)[:, None]                      # [H, C]
             hm = hm.astype(x.dtype)
-            kp = k[:, :, None, :] * hm[None, None]        # [B, S, H, C]
-            vp = v[:, :, None, :] * hm[None, None]
-            logits = jnp.einsum("bic,bjhc->bijh", q, kp) / jnp.sqrt(hd)
-            attn = nn.softmax(logits, axis=2)             # over j
+            # [B, S, H, C] -> [B, S·H, C]: plain 3-D batched matmuls only
+            # (higher-rank einsums inside scan+grad stall the TPU compiler)
+            kp = (k[:, :, None, :] * hm[None, None]).reshape(B, S * self.nhead, C)
+            vp = (v[:, :, None, :] * hm[None, None]).reshape(B, S * self.nhead, C)
+            logits = jnp.einsum("bic,bnc->bin", q, kp) / jnp.sqrt(hd)
+            attn = nn.softmax(
+                logits.reshape(B, S, S, self.nhead), axis=2)  # over j
             attn = nn.Dropout(self.dropout)(attn,
                                             deterministic=deterministic)
-            out = jnp.einsum("bijh,bjhc->bic", attn, vp)
+            out = jnp.einsum("bin,bnc->bic",
+                             attn.reshape(B, S, S * self.nhead), vp)
             return out @ wout + bout
 
         def heads(t):

@@ -78,7 +78,20 @@ def _extreme_from_sorted(d_sorted, sk, bounds, op, empty_value):
     return jnp.where(count > 0, out, empty_value)
 
 
+def _impl() -> str:
+    """Segment-reduction backend: "sort" (default) or "scatter"
+    (RMM_SEGMENT_IMPL env var) — kept switchable for benchmarking, the
+    two differ only in execution strategy."""
+    import os
+
+    return os.environ.get("RMM_SEGMENT_IMPL", "sort")
+
+
 def segment_sum(data, segment_ids, num_segments, mask=None):
+    if _impl() == "scatter":
+        ids = _masked_ids(segment_ids, mask, num_segments)
+        out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
+        return out[:num_segments]
     d2, trail = _flatten_trailing(data)
     order, _, bounds = _segment_order(segment_ids, num_segments, mask)
     out = _sums_from_sorted(d2[order], bounds)
@@ -86,11 +99,18 @@ def segment_sum(data, segment_ids, num_segments, mask=None):
 
 
 def segment_count(segment_ids, num_segments, mask=None):
+    if _impl() == "scatter":
+        ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
+        return segment_sum(ones, segment_ids, num_segments, mask)
     _, _, bounds = _segment_order(segment_ids, num_segments, mask)
     return (bounds[1:] - bounds[:-1]).astype(jnp.float32)
 
 
 def segment_mean(data, segment_ids, num_segments, mask=None):
+    if _impl() == "scatter":
+        s = segment_sum(data, segment_ids, num_segments, mask)
+        n = jnp.maximum(segment_count(segment_ids, num_segments, mask), 1.0)
+        return s / n.reshape((-1,) + (1,) * (data.ndim - 1))
     d2, trail = _flatten_trailing(data)
     order, _, bounds = _segment_order(segment_ids, num_segments, mask)
     s = _sums_from_sorted(d2[order], bounds)
@@ -99,6 +119,14 @@ def segment_mean(data, segment_ids, num_segments, mask=None):
 
 
 def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0):
+    if _impl() == "scatter":
+        ids = _masked_ids(segment_ids, mask, num_segments)
+        out = jax.ops.segment_max(data, ids,
+                                  num_segments=num_segments + 1)
+        out = out[:num_segments]
+        n = segment_count(segment_ids, num_segments, mask)
+        empty = (n == 0).reshape((-1,) + (1,) * (data.ndim - 1))
+        return jnp.where(empty, empty_value, out)
     d2, trail = _flatten_trailing(data)
     order, sk, bounds = _segment_order(segment_ids, num_segments, mask)
     out = _extreme_from_sorted(d2[order], sk, bounds, jnp.maximum,
@@ -107,6 +135,14 @@ def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0):
 
 
 def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0):
+    if _impl() == "scatter":
+        ids = _masked_ids(segment_ids, mask, num_segments)
+        out = jax.ops.segment_min(data, ids,
+                                  num_segments=num_segments + 1)
+        out = out[:num_segments]
+        n = segment_count(segment_ids, num_segments, mask)
+        empty = (n == 0).reshape((-1,) + (1,) * (data.ndim - 1))
+        return jnp.where(empty, empty_value, out)
     d2, trail = _flatten_trailing(data)
     order, sk, bounds = _segment_order(segment_ids, num_segments, mask)
     out = _extreme_from_sorted(d2[order], sk, bounds, jnp.minimum,
@@ -117,6 +153,11 @@ def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0):
 def segment_std(data, segment_ids, num_segments, mask=None, eps=1e-5):
     """sqrt(relu(E[x²] − E[x]²) + eps) per segment — PyG StdAggregation
     semantics used by PNA (``pna.py:60-61`` aggregator list)."""
+    if _impl() == "scatter":
+        mean = segment_mean(data, segment_ids, num_segments, mask)
+        mean2 = segment_mean(data * data, segment_ids, num_segments, mask)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        return jnp.sqrt(var + eps)
     d2, trail = _flatten_trailing(data)
     order, _, bounds = _segment_order(segment_ids, num_segments, mask)
     ds = d2[order]
@@ -183,6 +224,17 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None):
     (``src/nn/models/tabgnn.py:161-169``), over padded static-shape edges.
     Degree is clamped to ≥1 as in PyG. All four aggregators share ONE sort
     of the edge lanes (the hot op of every GNN train step)."""
+    if _impl() == "scatter":
+        mean = segment_mean(messages, dst, num_nodes, mask)
+        mx = segment_max(messages, dst, num_nodes, mask)
+        mn = segment_min(messages, dst, num_nodes, mask)
+        sd = segment_std(messages, dst, num_nodes, mask)
+        agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)
+        deg = jnp.maximum(degree(dst, num_nodes, mask), 1.0)
+        log_deg = jnp.log(deg + 1.0)[:, None]
+        return jnp.concatenate(
+            [agg, agg * (log_deg / avg_log_deg),
+             agg * (avg_log_deg / log_deg)], axis=-1)
     d2, _ = _flatten_trailing(messages)
     F = d2.shape[1]
     order, sk, bounds = _segment_order(dst, num_nodes, mask)

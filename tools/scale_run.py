@@ -38,7 +38,7 @@ def main(argv=None):
     p.add_argument("--epochs", default=20, type=int)
     p.add_argument("--model", default="tabgnn", type=str)
     p.add_argument("--out", default="outputs/scale", type=str)
-    p.add_argument("--steps_per_dispatch", default=16, type=int)
+    p.add_argument("--steps_per_dispatch", default=1, type=int)
     p.add_argument("--sampler_threads", default=4, type=int)
     args = p.parse_args(argv)
 
