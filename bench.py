@@ -43,12 +43,11 @@ ROWS = 1 << 17          # synthetic AML table rows
 FWD_BATCH = 8192
 FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
 FWD_LAYERS = 3
-# scan steps per dispatch. 1 by default: the sort-based segment ops that
-# make the step 2.5x faster hit pathological TPU compile times inside a
-# lax.scan body, and with the bounded-window async dispatch the per-step
-# RTT overlaps anyway. (steps_per_dispatch>1 works with
-# RMM_SEGMENT_IMPL=scatter — compiles fine, ~2x slower per step.)
-TRAIN_K = int(os.environ.get("BENCH_TRAIN_K", 1))
+# scan steps per dispatch. 8 by default with the scatter segment backend
+# (reliable TPU compiles); the faster sort backend currently trips
+# nondeterministic TPU compile hangs inside scan bodies — see
+# rmm_tpu/ops/segment.py:_impl.
+TRAIN_K = int(os.environ.get("BENCH_TRAIN_K", 8))
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
 
