@@ -217,11 +217,15 @@ def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
 
 def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
                 node_capacity, sent_node, sent_edge):
-    """Shared hop loop: returns concatenated candidate edge ids."""
+    """Shared hop loop: returns (concatenated candidate edge ids,
+    frontier-overflow count — distinct next-hop nodes that did not fit in
+    the node_capacity frontier buffer, folded into ``num_node_dropped`` by
+    the callers so capacity auto-calibration sees the coverage loss)."""
     views = [(dg.indptr, dg.nbr, dg.eid)]
     if dg.out_indptr is not None:
         views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
     cand_eids = []
+    frontier_overflow = jnp.int32(0)
     for h, fanout in enumerate(fanouts):
         nbr_parts = []
         for indptr, nbr_arr, eid_arr in views:
@@ -234,12 +238,14 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
         if h + 1 < len(fanouts):
             nxt = jnp.concatenate(nbr_parts)
             new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
-            frontier = _unique_fill(new, node_capacity, sent_node)
+            frontier, distinct = _unique_count(new, node_capacity, sent_node)
             fmask = frontier != sent_node
+            frontier_overflow = frontier_overflow + jnp.maximum(
+                distinct - fmask.sum(), 0)
             node_set = _unique_fill(
                 jnp.concatenate([node_set, frontier]), node_capacity,
                 sent_node)
-    return jnp.concatenate(cand_eids)
+    return jnp.concatenate(cand_eids), frontier_overflow
 
 
 def negative_samples_device(
@@ -333,8 +339,9 @@ def sample_nodes_device(
     seeds_m = jnp.where(seed_mask, seed_nodes, sent_node)
     node_set = _unique_fill(seeds_m, node_capacity, sent_node)
 
-    cand = _expand_all(dg, seed_nodes, seed_mask, node_set, key, fanouts,
-                       node_capacity, sent_node, sent_edge)
+    cand, f_overflow = _expand_all(dg, seed_nodes, seed_mask, node_set, key,
+                                   fanouts, node_capacity, sent_node,
+                                   sent_edge)
 
     slack = 2 if dg.out_indptr is not None else 1
     cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
@@ -354,7 +361,8 @@ def sample_nodes_device(
         raise ValueError("node_capacity must exceed the seed batch size")
     rest, n_distinct = _unique_count(rest_cand, R_n, sent_node)
     rest_mask = rest != sent_node
-    num_node_dropped = jnp.maximum(n_distinct - rest_mask.sum(), 0)
+    num_node_dropped = (jnp.maximum(n_distinct - rest_mask.sum(), 0)
+                        + f_overflow)
 
     node_gather = jnp.concatenate(
         [jnp.where(seed_mask, seed_nodes, 0),
@@ -414,8 +422,9 @@ def sample_edges_device(
     node_set = _unique_fill(
         jnp.concatenate([seed_src, seed_dst]), node_capacity, sent_node)
 
-    cand = _expand_all(dg, frontier, fmask, node_set, key, fanouts,
-                       node_capacity, sent_node, sent_edge)
+    cand, f_overflow = _expand_all(dg, frontier, fmask, node_set, key,
+                                   fanouts, node_capacity, sent_node,
+                                   sent_edge)
     # drop candidates that are seed edges (seed lanes already carry them)
     seed_sorted = jnp.sort(seed_eid)
     cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)
@@ -444,7 +453,8 @@ def sample_edges_device(
     cand_nodes = jnp.concatenate([src_g, dst_g])
     nodes, n_distinct = _unique_count(cand_nodes, node_capacity, sent_node)
     node_mask = nodes != sent_node
-    num_node_dropped = jnp.maximum(n_distinct - node_mask.sum(), 0)
+    num_node_dropped = (jnp.maximum(n_distinct - node_mask.sum(), 0)
+                        + f_overflow)
 
     def relabel(g):
         p = jnp.clip(jnp.searchsorted(nodes, g), 0,

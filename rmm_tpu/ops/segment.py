@@ -78,14 +78,27 @@ def _extreme_from_sorted(d_sorted, sk, bounds, op, empty_value):
     return jnp.where(count > 0, out, empty_value)
 
 
-def _impl() -> str:
-    """Segment-reduction backend, switchable via RMM_SEGMENT_IMPL.
+def _impl(impl: str | None = None) -> str:
+    """Segment-reduction backend: explicit ``impl`` argument, else the
+    RMM_SEGMENT_IMPL env var, else a per-backend default.
+
+    NOTE on the env knob: it is read at TRACE time. Once a caller's jitted
+    program is compiled and cached, flipping the env var does not retrace
+    that program — set it before the first trace (tests that need both
+    backends pass ``impl=`` explicitly instead).
+
+    Numerics: the sort path computes segment sums as differences of a
+    full-array float32 cumsum, which loses a few ulps for small segments
+    late in large edge arrays vs. the scatter path's direct accumulation
+    (equivalence tests use ~1e-5 tolerances accordingly).
 
     "sort" runs the step ~2.5x faster on TPU (93 ms vs 230 ms at the
     config of record) but its argsort/associative-scan constructs make
     the TPU compiler hang NONDETERMINISTICALLY (observed 14 min .. never
     on identical programs), so the TPU default is the reliably-compiling
     "scatter" until that is root-caused; CPU defaults to "sort"."""
+    if impl:
+        return impl
     import os
 
     v = os.environ.get("RMM_SEGMENT_IMPL")
@@ -94,8 +107,8 @@ def _impl() -> str:
     return "scatter" if jax.default_backend() == "tpu" else "sort"
 
 
-def segment_sum(data, segment_ids, num_segments, mask=None):
-    if _impl() == "scatter":
+def segment_sum(data, segment_ids, num_segments, mask=None, impl=None):
+    if _impl(impl) == "scatter":
         ids = _masked_ids(segment_ids, mask, num_segments)
         out = jax.ops.segment_sum(data, ids, num_segments=num_segments + 1)
         return out[:num_segments]
@@ -105,16 +118,16 @@ def segment_sum(data, segment_ids, num_segments, mask=None):
     return out.reshape((num_segments,) + trail)
 
 
-def segment_count(segment_ids, num_segments, mask=None):
-    if _impl() == "scatter":
+def segment_count(segment_ids, num_segments, mask=None, impl=None):
+    if _impl(impl) == "scatter":
         ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
         return segment_sum(ones, segment_ids, num_segments, mask)
     _, _, bounds = _segment_order(segment_ids, num_segments, mask)
     return (bounds[1:] - bounds[:-1]).astype(jnp.float32)
 
 
-def segment_mean(data, segment_ids, num_segments, mask=None):
-    if _impl() == "scatter":
+def segment_mean(data, segment_ids, num_segments, mask=None, impl=None):
+    if _impl(impl) == "scatter":
         s = segment_sum(data, segment_ids, num_segments, mask)
         n = jnp.maximum(segment_count(segment_ids, num_segments, mask), 1.0)
         return s / n.reshape((-1,) + (1,) * (data.ndim - 1))
@@ -125,8 +138,9 @@ def segment_mean(data, segment_ids, num_segments, mask=None):
     return (s / n[:, None]).reshape((num_segments,) + trail)
 
 
-def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0):
-    if _impl() == "scatter":
+def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0,
+                impl=None):
+    if _impl(impl) == "scatter":
         ids = _masked_ids(segment_ids, mask, num_segments)
         out = jax.ops.segment_max(data, ids,
                                   num_segments=num_segments + 1)
@@ -141,8 +155,9 @@ def segment_max(data, segment_ids, num_segments, mask=None, empty_value=0.0):
     return out.reshape((num_segments,) + trail)
 
 
-def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0):
-    if _impl() == "scatter":
+def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0,
+                impl=None):
+    if _impl(impl) == "scatter":
         ids = _masked_ids(segment_ids, mask, num_segments)
         out = jax.ops.segment_min(data, ids,
                                   num_segments=num_segments + 1)
@@ -157,10 +172,11 @@ def segment_min(data, segment_ids, num_segments, mask=None, empty_value=0.0):
     return out.reshape((num_segments,) + trail)
 
 
-def segment_std(data, segment_ids, num_segments, mask=None, eps=1e-5):
+def segment_std(data, segment_ids, num_segments, mask=None, eps=1e-5,
+                impl=None):
     """sqrt(relu(E[x²] − E[x]²) + eps) per segment — PyG StdAggregation
     semantics used by PNA (``pna.py:60-61`` aggregator list)."""
-    if _impl() == "scatter":
+    if _impl(impl) == "scatter":
         mean = segment_mean(data, segment_ids, num_segments, mask)
         mean2 = segment_mean(data * data, segment_ids, num_segments, mask)
         var = jnp.maximum(mean2 - mean * mean, 0.0)
@@ -221,7 +237,8 @@ def pna_scalers_from_histogram(deg_histogram) -> float:
     return float(jnp.sum(hist * jnp.log(d + 1.0)) / total)
 
 
-def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None):
+def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
+                  impl=None):
     """PNA multi-aggregation: [mean|max|min|std] × [identity|amplification|
     attenuation] → [N, 12·F].
 
@@ -231,7 +248,7 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None):
     (``src/nn/models/tabgnn.py:161-169``), over padded static-shape edges.
     Degree is clamped to ≥1 as in PyG. All four aggregators share ONE sort
     of the edge lanes (the hot op of every GNN train step)."""
-    if _impl() == "scatter":
+    if _impl(impl) == "scatter":
         mean = segment_mean(messages, dst, num_nodes, mask)
         mx = segment_max(messages, dst, num_nodes, mask)
         mn = segment_min(messages, dst, num_nodes, mask)

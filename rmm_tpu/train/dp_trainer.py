@@ -86,7 +86,11 @@ class DataParallelTrainer(Trainer):
             pending.clear()
             inflight.append(losses[-1])
             if len(inflight) > window:
-                jax.block_until_ready(inflight.pop(0))
+                # device_get of the (tiny) loss, not block_until_ready: over
+                # the tunneled transport block_until_ready can return before
+                # the work executes (RESULTS.md round-2 correction), which
+                # would defeat the queue bound
+                jax.device_get(inflight.pop(0))
 
         for gb in Prefetcher(self._batches(view, "train", epoch),
                              depth=2 * D, device_put=False):

@@ -287,15 +287,18 @@ class PretrainTrainer:
             dgraph, sb.seeds, sb.seed_mask, ks, cfg.num_neighs,
             cfg.edge_capacity, cfg.node_capacity)
         b = sb.seed_mask.shape[0]
+        # node-capacity overflow can evict a seed edge's endpoint, zeroing
+        # its edge lane — exclude such seeds from losses/negatives
+        seed_mask = sb.seed_mask & out["edge_mask"][:b]
         neg, _residual = negative_samples_device(
             out["edge_index"], out["edge_mask"],
             out["edge_index"][0, :b], out["edge_index"][1, :b],
-            sb.seed_mask, cfg.num_neg_samples, cfg.node_capacity,
+            seed_mask, cfg.num_neg_samples, cfg.node_capacity,
             out["node_mask"].sum(), kn)
         batch = GraphBatch(
             edge_gather=out["edge_gather"], edge_mask=out["edge_mask"],
             edge_index=out["edge_index"], node_gather=out["node_gather"],
-            node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y,
+            node_mask=out["node_mask"], seed_mask=seed_mask, y=sb.y,
             neg_edge_index=neg)
         return batch, out["num_dropped"], out["edge_mask"].sum()
 
@@ -453,7 +456,11 @@ class PretrainTrainer:
             pending.clear()
             inflight.append(results[-1][0])
             if len(inflight) > window:
-                jax.block_until_ready(inflight.pop(0))
+                # device_get of the (tiny) loss, not block_until_ready: over
+                # the tunneled transport block_until_ready can return before
+                # the work executes (RESULTS.md round-2 correction), which
+                # would defeat the queue bound
+                jax.device_get(inflight.pop(0))
 
         dropped = kept = 0
         src_iter = (self._seed_batches(view, "train", epoch) if use_dev

@@ -216,10 +216,16 @@ class Trainer:
             out = sample_edges_device(
                 dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
                 cfg.edge_capacity, cfg.node_capacity)
+        seed_mask = sb.seed_mask
+        if "node" not in cfg.task:
+            # node-capacity overflow can evict a seed edge's endpoint,
+            # zeroing its edge lane — such seeds must not count in the
+            # loss/metrics (edge_mask[:B] ⊆ seed_mask by construction)
+            seed_mask = seed_mask & out["edge_mask"][:seed_mask.shape[0]]
         batch = GraphBatch(
             edge_gather=out["edge_gather"], edge_mask=out["edge_mask"],
             edge_index=out["edge_index"], node_gather=out["node_gather"],
-            node_mask=out["node_mask"], seed_mask=sb.seed_mask, y=sb.y)
+            node_mask=out["node_mask"], seed_mask=seed_mask, y=sb.y)
         return batch, out["num_dropped"], out["edge_mask"].sum()
 
 
@@ -439,7 +445,11 @@ class Trainer:
             pending.clear()
             inflight.append(losses[-1])
             if len(inflight) > window:
-                jax.block_until_ready(inflight.pop(0))
+                # device_get of the (tiny) loss, not block_until_ready: over
+                # the tunneled transport block_until_ready can return before
+                # the work executes (RESULTS.md round-2 correction), which
+                # would defeat the queue bound
+                jax.device_get(inflight.pop(0))
 
         from ..parallel.prefetch import Prefetcher
 

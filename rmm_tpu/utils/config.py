@@ -62,8 +62,11 @@ class Config:
     sampler: str = "auto"         # auto | host | device — where k-hop
                                   # sampling runs. "device" = in-jit on the
                                   # accelerator (HBM-resident CSR, host
-                                  # ships seed ids only); "auto" picks
-                                  # device on TPU for edge-seeded tasks
+                                  # ships seed ids only). "auto" currently
+                                  # resolves to the overlapped host (C++)
+                                  # sampler, which still wins per-batch;
+                                  # device sampling is opt-in (see
+                                  # graph/device_sampler.use_device_sampler)
 
     seed: int = 1
     testing: bool = False

@@ -18,20 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _masked_row_mean(x, row_mask):
+    """Mean over elements of valid rows. Rows are axis 0; any trailing
+    shape (1-D preds included) is flattened so the denominator is always
+    (#valid rows) × (elements per row)."""
+    x2 = x.reshape(x.shape[0], -1)
+    if row_mask is None:
+        return x2.mean()
+    m = row_mask.astype(x2.dtype).reshape(-1)[:, None]
+    return (x2 * m).sum() / jnp.maximum(m.sum() * x2.shape[1], 1.0)
+
+
 def lp_loss(pos_pred, neg_pred, pos_mask=None, neg_mask=None):
     """−mean log pos − mean log (1−neg)  (``loss.py:10-11``)."""
-    lp = jnp.log(pos_pred + 1e-12)
-    ln = jnp.log(1.0 - neg_pred + 1e-12)
-    if pos_mask is not None:
-        m = pos_mask.reshape(lp.shape[0], *([1] * (lp.ndim - 1)))
-        pos_term = (lp * m).sum() / jnp.maximum(m.sum() * lp.shape[-1], 1.0)
-    else:
-        pos_term = lp.mean()
-    if neg_mask is not None:
-        m = neg_mask.reshape(ln.shape[0], *([1] * (ln.ndim - 1)))
-        neg_term = (ln * m).sum() / jnp.maximum(m.sum() * ln.shape[-1], 1.0)
-    else:
-        neg_term = ln.mean()
+    pos_term = _masked_row_mean(jnp.log(pos_pred + 1e-12), pos_mask)
+    neg_term = _masked_row_mean(jnp.log(1.0 - neg_pred + 1e-12), neg_mask)
     return -pos_term - neg_term
 
 
