@@ -23,6 +23,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, type=str)
     p.add_argument("--testing", action="store_true")
+    p.add_argument("--checkpoint", default=None, type=str,
+                   help="epoch checkpoint dir to resume from")
+    p.add_argument("--save_model", action="store_true")
     p.add_argument("--batch_size", default=200, type=int)
     p.add_argument("--lr", default=2e-4, type=float)
     p.add_argument("--eps", default=1e-8, type=float)
@@ -47,10 +50,20 @@ def main(argv=None):
         root=cfg.data, pretrain={PretrainType.MASK},
         split_type=cfg.split_type, channels=cfg.n_hidden)
     trainer = TabularMCMTrainer(cfg, dataset.edges)
+    start_epoch, best = 0, None
+    if args.checkpoint:
+        from ..utils.checkpoint import parse_checkpoint_path
+
+        _, start_epoch = parse_checkpoint_path(args.checkpoint)
+        start_epoch += 1
+        best = trainer.restore(args.checkpoint)
+        logging.info(f"Resumed from {args.checkpoint} "
+                     f"(next epoch {start_epoch}, best {best})")
     run_dir = os.path.join(cfg.wandb_dir, "run_fttransformer")
     rl = RunLogger(run_dir, config=__import__("json").loads(cfg.to_json()),
                    use_wandb=not cfg.testing)
-    history, best = trainer.fit(rl)
+    ckpt_dir = run_dir if (args.save_model or args.checkpoint) else None
+    history, best = trainer.fit(rl, ckpt_dir, start_epoch, best)
     rl.close()
     logging.info(f"best: {best}")
     return history, best

@@ -25,7 +25,13 @@ def build_parser():
     p.add_argument("--mode", default="mcm-lp",
                    choices=["mcm", "lp", "mcm-lp"])
     p.add_argument("--run_name", default="fused", type=str)
-    p.add_argument("--checkpoint", default=None, type=str)
+    p.add_argument("--checkpoint", default=None, type=str,
+                   help="epoch checkpoint dir to resume from "
+                        "(<run_dir>/<epoch>)")
+    p.add_argument("--save_model", action="store_true",
+                   help="save per-epoch + best-metric checkpoints under "
+                        "the run dir (reference saves unconditionally, "
+                        "fused.py:698-766)")
     p.add_argument("--testing", action="store_true")
     p.add_argument("--group", default=None, type=str)
     p.add_argument("--moo", default="sum", choices=["sum", "moco"])
@@ -78,16 +84,40 @@ def main(argv=None):
     pretrain = {PretrainType.LINK_PRED}
     if "mcm" in args.mode:
         pretrain.add(PretrainType.MASK)
-    dataset = IBMTransactionsAML(
-        root=cfg.data, pretrain=pretrain, split_type=cfg.split_type,
-        splits=cfg.splits, khop_neighbors=cfg.num_neighs, ports=cfg.ports,
-        ego=cfg.ego, channels=cfg.n_hidden,
-        edge_capacity=cfg.edge_capacity, node_capacity=cfg.node_capacity)
+    # dataset dispatch by path, as the reference's get_dataset
+    # (``fused.py:498-516``): "eth" → EthereumPhishingTransactions, else IBM
+    if "eth" in cfg.data.lower():
+        from ..datasets.eth_phishing import EthereumPhishing
+
+        dataset = EthereumPhishing(
+            root=cfg.data, pretrain=pretrain, split_type=cfg.split_type,
+            splits=cfg.splits, khop_neighbors=cfg.num_neighs,
+            ports=cfg.ports, ego=cfg.ego, channels=cfg.n_hidden,
+            edge_capacity=cfg.edge_capacity,
+            node_capacity=cfg.node_capacity)
+    else:
+        dataset = IBMTransactionsAML(
+            root=cfg.data, pretrain=pretrain, split_type=cfg.split_type,
+            splits=cfg.splits, khop_neighbors=cfg.num_neighs,
+            ports=cfg.ports, ego=cfg.ego, channels=cfg.n_hidden,
+            edge_capacity=cfg.edge_capacity,
+            node_capacity=cfg.node_capacity)
     trainer = PretrainTrainer(cfg, dataset, mode=args.mode)
+
+    start_epoch, best = 0, None
+    if args.checkpoint:
+        from ..utils.checkpoint import parse_checkpoint_path
+
+        _, start_epoch = parse_checkpoint_path(args.checkpoint)
+        start_epoch += 1
+        best = trainer.restore(args.checkpoint)
+        logging.info(f"Resumed from {args.checkpoint} "
+                     f"(next epoch {start_epoch}, best {best})")
     run_dir = os.path.join(cfg.wandb_dir, f"run_{args.run_name}")
     rl = RunLogger(run_dir, config=__import__("json").loads(cfg.to_json()),
                    use_wandb=not cfg.testing, group=args.group)
-    history, best = trainer.fit(rl)
+    ckpt_dir = run_dir if (args.save_model or args.checkpoint) else None
+    history, best = trainer.fit(rl, ckpt_dir, start_epoch, best)
     rl.close()
     logging.info(f"best: {best}")
     return history, best

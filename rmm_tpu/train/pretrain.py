@@ -547,26 +547,111 @@ class PretrainTrainer:
             out.update({"accuracy": acc.accuracy, "rmse": acc.rmse})
         return out
 
-    def fit(self, run_logger=None):
+    # -- checkpoint / resume / export ----------------------------------
+    # The reference saves per-epoch model+decoder files, best-metric weight
+    # files, and resumes from a filename-parsed epoch
+    # (``fused.py:420-446,698-766``; decoder reload ``:682-686``).  Here one
+    # component-split directory per epoch: the encoder params are saved
+    # under the name ``edge_encoder`` so the supervised CLI's SSL →
+    # supervised transfer (``cli/main.py --load_model <ck>``, reference
+    # ``main.py:271-276`` strict=False) can load them directly.
+    def _ckpt_variables(self) -> dict:
+        params = {
+            "edge_encoder": self.params["encoder"]["params"],
+            "model": self.params["model"],
+            "mcm_head": self.params["mcm_head"]["params"],
+            "lp_head": self.params["lp_head"]["params"],
+        }
+        return {"params": params, "batch_stats": self.batch_stats}
+
+    def save(self, run_dir: str, epoch, best: dict = None,
+             with_opt: bool = True) -> str:
+        from ..utils.checkpoint import save_checkpoint, save_pytree
+
+        ck = save_checkpoint(run_dir, epoch, self._ckpt_variables(),
+                             self.opt_state if with_opt else None, None)
+        if best is not None:
+            import json
+            import os
+
+            with open(os.path.join(ck, "best_m.json"), "w") as f:
+                json.dump({"best_m": best}, f)
+        if self.moco_state is not None and with_opt:
+            import os
+
+            save_pytree(os.path.join(ck, "moco_state"), self.moco_state)
+        return ck
+
+    def restore(self, ck_dir: str, with_opt: bool = True) -> dict:
+        """Load params (+ opt/batch-stats/moco state) from a checkpoint
+        dir; returns the saved best-metric dict (or a fresh one)."""
+        import os
+
+        from ..utils.checkpoint import load_pytree
+
+        p = dict(self.params)
+        enc = dict(p["encoder"])
+        enc["params"] = load_pytree(os.path.join(ck_dir, "edge_encoder"),
+                                    enc["params"])
+        p["encoder"] = enc
+        p["model"] = load_pytree(os.path.join(ck_dir, "model"), p["model"])
+        for name in ("mcm_head", "lp_head"):
+            path = os.path.join(ck_dir, name)
+            if os.path.exists(path):
+                v = dict(p[name])
+                v["params"] = load_pytree(path, v["params"])
+                p[name] = v
+        self.params = p
+        extras = os.path.join(ck_dir, "extras")
+        if os.path.exists(extras):
+            self.batch_stats = load_pytree(
+                extras, {"batch_stats": self.batch_stats})["batch_stats"]
+        opt = os.path.join(ck_dir, "opt_state")
+        if with_opt and os.path.exists(opt):
+            self.opt_state = load_pytree(opt, self.opt_state)
+        moco = os.path.join(ck_dir, "moco_state")
+        if with_opt and self.moco_state is not None and os.path.exists(moco):
+            self.moco_state = load_pytree(moco, self.moco_state)
+        best = {"accuracy": -1.0, "rmse": float("inf"), "mrr": -1.0}
+        bj = os.path.join(ck_dir, "best_m.json")
+        if os.path.exists(bj):
+            import json
+
+            with open(bj) as f:
+                best.update(json.load(f)["best_m"])
+        return best
+
+    def fit(self, run_logger=None, run_dir: str = None,
+            start_epoch: int = 0, best: dict = None):
         cfg = self.cfg
         tr, va, te = self.dataset.edges.split()
-        best = {"accuracy": -1.0, "rmse": float("inf"), "mrr": -1.0}
+        if best is None:
+            best = {"accuracy": -1.0, "rmse": float("inf"), "mrr": -1.0}
         history = []
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, start_epoch + cfg.epochs):
             tm = self.train_epoch(tr, epoch)
             vm = self.evaluate(va, "val")
             rec = {"epoch": epoch, **tm,
                    **{f"val_{k}": v for k, v in vm.items()}}
-            # best-model tracking on acc / rmse / mrr (fused.py:737-754)
+            # best-model tracking on acc / rmse / mrr (fused.py:737-754);
+            # each improved metric exports its own weight snapshot
+            improved = []
             for k in ("accuracy", "mrr"):
                 if k in vm and vm[k] > best[k]:
                     best[k] = vm[k]
+                    improved.append(k)
             if "rmse" in vm and vm["rmse"] < best["rmse"]:
                 best["rmse"] = vm["rmse"]
+                improved.append("rmse")
             logger.info(" ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in rec.items()))
             if run_logger is not None:
                 run_logger.log(rec, step=epoch)
+            if run_dir is not None:
+                self.save(run_dir, epoch, best)
+                for k in improved:
+                    self.save(run_dir, f"best_{'acc' if k == 'accuracy' else k}",
+                              best, with_opt=False)
             history.append(rec)
         return history, best

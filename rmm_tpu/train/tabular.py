@@ -134,21 +134,80 @@ class TabularMCMTrainer:
             out["mv_accuracy"] = float(np.mean(mv_accs))
         return out
 
-    def fit(self, run_logger=None):
+    # -- checkpoint / resume / export ----------------------------------
+    # Reference scheme: ``run_<id>_epoch_<e>.pth`` files + best-metric
+    # weight files (``fttransformer.py`` shares ``fused.py:420-446,737-754``).
+    # Encoder params are saved under ``edge_encoder`` so the supervised
+    # CLI's encoder transfer (``cli/main.py --load_model``) can load them.
+    def save(self, run_dir: str, epoch, best: dict = None,
+             with_opt: bool = True) -> str:
+        from ..utils.checkpoint import save_checkpoint
+
+        variables = {"params": {
+            "edge_encoder": self.params["encoder"]["params"],
+            "model": self.params["model"]["params"],
+            "head": self.params["head"]["params"],
+        }}
+        ck = save_checkpoint(run_dir, epoch, variables,
+                             self.opt_state if with_opt else None, None)
+        if best is not None:
+            import json
+            import os
+
+            with open(os.path.join(ck, "best_m.json"), "w") as f:
+                json.dump({"best_m": best}, f)
+        return ck
+
+    def restore(self, ck_dir: str, with_opt: bool = True) -> dict:
+        import os
+
+        from ..utils.checkpoint import load_pytree
+
+        p = dict(self.params)
+        for name, comp in (("encoder", "edge_encoder"), ("model", "model"),
+                           ("head", "head")):
+            path = os.path.join(ck_dir, comp)
+            if os.path.exists(path):
+                v = dict(p[name])
+                v["params"] = load_pytree(path, v["params"])
+                p[name] = v
+        self.params = p
+        opt = os.path.join(ck_dir, "opt_state")
+        if with_opt and os.path.exists(opt):
+            self.opt_state = load_pytree(opt, self.opt_state)
+        best = {"accuracy": -1.0, "rmse": float("inf")}
+        bj = os.path.join(ck_dir, "best_m.json")
+        if os.path.exists(bj):
+            import json
+
+            with open(bj) as f:
+                best.update(json.load(f)["best_m"])
+        return best
+
+    def fit(self, run_logger=None, run_dir: str = None,
+            start_epoch: int = 0, best: dict = None):
         tr, va, te = self.edges.split()
         history = []
-        best = {"accuracy": -1.0, "rmse": float("inf")}
-        for epoch in range(self.cfg.epochs):
+        if best is None:
+            best = {"accuracy": -1.0, "rmse": float("inf")}
+        for epoch in range(start_epoch, start_epoch + self.cfg.epochs):
             tm = self.train_epoch(tr, epoch)
             vm = self.evaluate(va)
             rec = {"epoch": epoch, **tm,
                    **{f"val_{k}": v for k, v in vm.items()}}
+            improved = []
             if vm["accuracy"] > best["accuracy"]:
                 best["accuracy"] = vm["accuracy"]
+                improved.append("acc")
             if vm["rmse"] < best["rmse"]:
                 best["rmse"] = vm["rmse"]
+                improved.append("rmse")
             logger.info(str(rec))
             if run_logger is not None:
                 run_logger.log(rec, step=epoch)
+            if run_dir is not None:
+                self.save(run_dir, epoch, best)
+                for k in improved:
+                    self.save(run_dir, f"best_{k}", best, with_opt=False)
             history.append(rec)
         return history, best

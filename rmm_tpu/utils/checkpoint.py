@@ -27,20 +27,52 @@ def save_pytree(path: str, tree: Any) -> None:
         f.write(serialization.to_bytes(jax.device_get(tree)))
 
 
-def load_pytree(path: str, template: Any) -> Any:
+def _merge_loose(template: Any, loaded: Any) -> Any:
+    """``strict=False`` merge: graft leaves present in both trees (by
+    dict path) with matching shape onto the template; everything else
+    keeps its fresh init — the analogue of the reference's
+    ``load_state_dict(..., strict=False)`` encoder transfer
+    (``main.py:271-276``), needed when the SSL schema carries columns the
+    supervised schema doesn't (or vice versa)."""
+    if isinstance(template, dict):
+        if not isinstance(loaded, dict):
+            return template
+        return {k: (_merge_loose(v, loaded[k]) if k in loaded else v)
+                for k, v in template.items()}
+    if loaded is None:
+        return template
+    t = np.asarray(template)
+    l = np.asarray(loaded)
+    return loaded if t.shape == l.shape else template
+
+
+def load_pytree(path: str, template: Any, strict: bool = True) -> Any:
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    if strict:
+        return serialization.from_bytes(template, data)
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError):
+        state = serialization.msgpack_restore(data)
+        merged = _merge_loose(serialization.to_state_dict(template), state)
+        return serialization.from_state_dict(template, merged)
 
 
-def save_checkpoint(run_dir: str, epoch: int, variables: dict,
+def save_checkpoint(run_dir: str, epoch, variables: dict,
                     opt_state: Any = None, best_m: Any = None,
                     prune_previous: bool = True) -> str:
     """variables: {"params": ..., "batch_stats": ...} from the task wrapper.
 
     Components are split by top-level module name so encoders/backbone/head
-    can be reloaded independently.
+    can be reloaded independently. ``epoch`` may be a string tag (the SSL
+    trainers' best-metric exports ``best_acc``/``best_rmse``/``best_mrr``,
+    mirroring the reference's ``<id>_acc/_rmse/_mrr.pth`` files,
+    ``fused.py:737-754``); pruning only applies to integer epochs.
     """
     ck = os.path.join(run_dir, str(epoch))
+    if not isinstance(epoch, int):
+        prune_previous = False
     os.makedirs(ck, exist_ok=True)
     params = variables["params"]
     for comp in params:
@@ -70,14 +102,14 @@ def load_components(ck_dir: str, variables: dict,
     for comp in components or list(params.keys()):
         path = os.path.join(ck_dir, comp)
         if comp in params and os.path.exists(path):
-            params[comp] = load_pytree(path, params[comp])
+            params[comp] = load_pytree(path, params[comp], strict=False)
     out = dict(variables)
     out["params"] = params
     extras_path = os.path.join(ck_dir, "extras")
     if os.path.exists(extras_path):
         extras = load_pytree(
             extras_path, {k: v for k, v in variables.items()
-                          if k != "params"})
+                          if k != "params"}, strict=False)
         out.update(extras)
     return out
 
