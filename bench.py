@@ -43,10 +43,9 @@ ROWS = 1 << 17          # synthetic AML table rows
 FWD_BATCH = 8192
 FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
 FWD_LAYERS = 3
-# scan steps per dispatch. 8 by default with the scatter segment backend
-# (reliable TPU compiles); the faster sort backend currently trips
-# nondeterministic TPU compile hangs inside scan bodies — see
-# rmm_tpu/ops/segment.py:_impl.
+# scan steps per dispatch (the sort segment backend is the default on all
+# platforms since round 3 — the associative_scan construct that hung the
+# TPU compiler was bisected and replaced, see rmm_tpu/ops/segment.py)
 TRAIN_K = int(os.environ.get("BENCH_TRAIN_K", 8))
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
 
@@ -277,6 +276,67 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
     return device_rps, sampler_rps, e2e_rps, mfu
 
 
+# ---------------------------------------------------------------------------
+# SSL-config train step (C=128, 3 layers, bf16) — the MXU-bound shape
+# ---------------------------------------------------------------------------
+
+def measure_ssl_train(rows: int = ROWS):
+    """Joint mcm-lp pretrain step at the SSL config of record
+    (``fused.py:626-630``: batch 200, channels 128, 3 layers, 64 negative
+    samples) under --precision bf16. Returns (rows_per_sec, mfu) — the
+    shape where the Pallas column-attention kernel runs (head_dim=16) and
+    the MXU actually gets fed, unlike the 74k-param supervised config."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
+    from rmm_tpu.datasets.base import PretrainType
+    from rmm_tpu.train.pretrain import PretrainTrainer
+    from rmm_tpu.utils.config import Config
+
+    csv = os.path.join(tempfile.gettempdir(), f"bench_aml_{rows}.csv")
+    if not os.path.exists(csv):
+        write_synthetic_aml_csv(csv, num_rows=rows,
+                                num_accounts=max(rows // 16, 64), seed=0)
+    cfg = Config(model="tabgnnfused", data=csv, batch_size=200,
+                 n_hidden=128, n_gnn_layers=3, dropout=0.5,
+                 num_neighs=(100, 100), num_neg_samples=64, lr=2e-4,
+                 epochs=1, testing=True, precision="bf16")
+    ds = IBMTransactionsAML(
+        root=csv, pretrain={PretrainType.MASK, PretrainType.LINK_PRED},
+        khop_neighbors=cfg.num_neighs, channels=cfg.n_hidden)
+    tr = PretrainTrainer(cfg, ds, mode="mcm-lp")
+    view = ds.edges.split()[0]
+    gb = next(iter(tr._batches(view, "train", epoch=0)))
+    rng = jax.random.PRNGKey(0)
+
+    def dispatch1():
+        return tr._train_step(tr.params, tr.batch_stats, tr.opt_state,
+                              tr.moco_state, gb, rng)
+
+    jax.device_get(dispatch1()[4])   # compile + run
+    reps = 10
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [dispatch1() for _ in range(reps)]
+        jax.device_get(outs[-1][4])
+        best = min(best, time.perf_counter() - t0)
+    step_time = best / reps
+    mfu = None
+    try:
+        cost = tr._train_step.lower(
+            tr.params, tr.batch_stats, tr.opt_state, tr.moco_state, gb,
+            rng).compile().cost_analysis()
+        if cost and "flops" in cost:
+            mfu = float(cost["flops"]) / step_time / PEAK_FLOPS
+    except Exception:
+        pass
+    return cfg.batch_size / step_time, mfu
+
+
 def main():
     if "--cpu-baseline" in sys.argv:
         # clean process: CPU platform, reduced iters, no e2e epoch
@@ -290,6 +350,14 @@ def main():
           file=sys.stderr)
     fwd_rps = measure_fwd()
     print(f"encode+forward rows/sec: {fwd_rps:,.0f}", file=sys.stderr)
+
+    ssl_rps = ssl_mfu = None
+    try:
+        ssl_rps, ssl_mfu = measure_ssl_train()
+        print(f"ssl (C=128, bf16) train rows/sec: {ssl_rps:,.0f} "
+              f"mfu: {ssl_mfu}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"ssl bench failed: {e}", file=sys.stderr)
 
     cpu_rps = None
     try:
@@ -317,6 +385,9 @@ def main():
         "e2e_rows_per_sec": round(e2e_rps, 1),
         "fwd_rows_per_sec": round(fwd_rps, 1),
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "ssl_train_rows_per_sec": (round(ssl_rps, 1)
+                                   if ssl_rps is not None else None),
+        "ssl_mfu": round(ssl_mfu, 4) if ssl_mfu is not None else None,
     }))
 
 

@@ -58,6 +58,7 @@ def build_parser():
     p.add_argument("--node_capacity", default=0, type=int,
                    help="0 = auto-calibrate")
     p.add_argument("--wandb_dir", default="wandb/", type=str)
+    p.add_argument("--precision", default="f32", choices=("f32", "bf16"))
     return p
 
 
@@ -79,6 +80,7 @@ def main(argv=None):
         ports=args.ports, edge_capacity=args.edge_capacity,
         node_capacity=args.node_capacity, moo=args.moo,
         testing=args.testing, wandb_dir=args.wandb_dir,
+        precision=args.precision,
     )
     logging.info(cfg.to_json())
     pretrain = {PretrainType.LINK_PRED}

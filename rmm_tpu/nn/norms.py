@@ -31,6 +31,11 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        # batch statistics always in f32: mean/var of bf16 activations in
+        # bf16 is too lossy under --precision bf16, and the running stats
+        # live in f32 (output is cast back to x.dtype at the end)
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         if train:
             if mask is not None:
                 m = mask.astype(x.dtype)[:, None]
@@ -53,4 +58,5 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        return (y * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(in_dtype)

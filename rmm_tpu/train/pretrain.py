@@ -99,9 +99,11 @@ class PretrainModel:
     def apply_fused(self, params, mutable_vars, batch, edge_table, lp: bool,
                     use_neigh_only: bool, rng, train: bool):
         """One TABGNNFused application over the batch subgraph."""
+        from ..utils.precision import compute_cast
+
         cfg = self.cfg
         b = batch.num_seeds
-        nf = self.node_feats(batch)
+        nf = compute_cast(self.node_feats(batch), cfg.precision)
         tgt_ids = self.target_gather(batch)
         target_tok = self.encode(params, edge_table, tgt_ids)
         target_ei = jnp.concatenate(
@@ -143,6 +145,11 @@ class PretrainModel:
     def mode_losses(self, params, batch_stats, batch, edge_table, rng,
                     train: bool, mode: str):
         """Returns ({loss_name: value}, aux, new_batch_stats)."""
+        from ..utils.precision import compute_cast, out_f32
+
+        # --precision bf16: bf16 compute, f32 master params / losses
+        params = compute_cast(params, self.cfg.precision)
+        edge_table = compute_cast(edge_table, self.cfg.precision)
         cfg = self.cfg
         r1, r2, r3 = jax.random.split(rng, 3)
         losses, aux = {}, {}
@@ -151,8 +158,8 @@ class PretrainModel:
             x_gnn, tea_lp, tei, new_stats = self.apply_fused(
                 params, new_stats, batch, edge_table, lp=True,
                 use_neigh_only=True, rng=r1, train=train)
-            pos_pred, neg_pred = self.lp_preds(params, x_gnn, tea_lp, tei,
-                                               batch, r3, train)
+            pos_pred, neg_pred = out_f32(self.lp_preds(
+                params, x_gnn, tea_lp, tei, batch, r3, train))
             losses["lp"] = self.ssloss.lp_loss(
                 pos_pred, neg_pred, batch.seed_mask,
                 jnp.repeat(batch.seed_mask, cfg.num_neg_samples))
@@ -162,7 +169,8 @@ class PretrainModel:
             x_gnn, tea_mcm, tei, new_stats = self.apply_fused(
                 params, new_stats, batch, edge_table, lp=False,
                 use_neigh_only=False, rng=r2, train=train)
-            num_out, cat_out = self.mcm_preds(params, x_gnn, tea_mcm, batch)
+            num_out, cat_out = out_f32(
+                self.mcm_preds(params, x_gnn, tea_mcm, batch))
             total, (cl, tc, acc), (nl, tn) = self.ssloss.mcm_loss(
                 cat_out, num_out, batch.y, valid_mask=batch.seed_mask)
             losses["mcm"] = total

@@ -246,6 +246,9 @@ class Trainer:
         )
 
     def _loss_from_pred(self, pred, batch: GraphBatch):
+        from ..utils.precision import out_f32
+
+        pred = out_f32(pred)   # losses/metrics always f32
         cfg = self.cfg
         if "mcm" in cfg.task:
             num_out, cat_out = pred
@@ -264,11 +267,18 @@ class Trainer:
 
     def _step(self, variables, opt_state, batch: GraphBatch, rng,
               edge_table, node_table):
+        from ..utils.precision import compute_cast
+
+        prec = self.cfg.precision
+
         def loss_fn(params):
+            # bf16: cast f32 master params (+ tables, batch floats) to the
+            # compute dtype inside the traced step — grads come out f32
             out, mutated = self.model.apply(
-                {"params": params,
+                {"params": compute_cast(params, prec),
                  "batch_stats": variables.get("batch_stats", {})},
-                edge_table, node_table, batch, True,
+                compute_cast(edge_table, prec),
+                compute_cast(node_table, prec), batch, True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             loss, aux = self._loss_from_pred(out, batch)
             return loss, (aux, mutated)
@@ -307,8 +317,14 @@ class Trainer:
 
     def _forward_eval(self, variables, batch: GraphBatch, edge_table,
                       node_table):
-        out = self.model.apply(variables, edge_table, node_table, batch,
-                               False)
+        from ..utils.precision import compute_cast
+
+        prec = self.cfg.precision
+        out = self.model.apply(
+            {"params": compute_cast(variables["params"], prec),
+             **{k: v for k, v in variables.items() if k != "params"}},
+            compute_cast(edge_table, prec), compute_cast(node_table, prec),
+            batch, False)
         loss, aux = self._loss_from_pred(out, batch)
         return loss, aux
 

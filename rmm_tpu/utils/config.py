@@ -68,6 +68,12 @@ class Config:
                                   # device sampling is opt-in (see
                                   # graph/device_sampler.use_device_sampler)
 
+    precision: str = "f32"        # f32 | bf16 — bf16 keeps f32 master
+                                  # params and casts params + feature
+                                  # tables + activations to bfloat16 for
+                                  # the forward/backward (MXU-native);
+                                  # losses/metrics stay f32
+
     seed: int = 1
     testing: bool = False
     tqdm: bool = False
@@ -133,6 +139,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler", default="auto",
                    choices=("auto", "host", "device"),
                    help="where k-hop sampling runs (device = in-jit)")
+    p.add_argument("--precision", default="f32", choices=("f32", "bf16"),
+                   help="bf16 = mixed precision (f32 master params, "
+                        "bf16 activations/matmuls)")
     return p
 
 
@@ -160,6 +169,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(inflight_groups=args.inflight_groups)
     if getattr(args, "sampler", "auto") != "auto":
         cfg = cfg.replace(sampler=args.sampler)
+    if getattr(args, "precision", "f32") != "f32":
+        cfg = cfg.replace(precision=args.precision)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)
