@@ -11,11 +11,15 @@ weights are present, the capability exists; tests exercise it with a tiny
 locally-constructed checkpoint.
 
 TPU-first design: the base LM runs under the same jit as the tabular model
-(flax weights, bf16-able), FROZEN via ``stop_gradient`` on its hidden
-states; the trainable part is a LoRA-style low-rank adapter over those
-hidden states + the mean-pooling projection (the "frozen base + trainable
-adapter" compromise — grads never backprop through the LM, so the backward
-pass costs nothing extra).
+(flax weights, bf16-able) with TRUE in-LM LoRA: low-rank A·B factors are
+injected into the attention query/value projection kernels by pytree
+surgery (W_eff = W + (α/r)·A·B) before the LM forward, exactly the
+reference's peft target modules (``downstream_model_LLM.py:59-83``
+LoraConfig on q/v; whole-LM SEQ_CLS ``finetune_LLM.py:29-90``). The base
+weights ride as captured constants — they are not flax params, so only
+the A/B factors (plus the output projection) train, and gradients flow
+through the full LM backward into them. No ``stop_gradient``, no
+optimizer masking needed.
 """
 from __future__ import annotations
 
@@ -80,8 +84,53 @@ class HFTokenizerWrapper:
         return toks["input_ids"].astype(np.int32)
 
 
+# attention projection names LoRA targets, across HF flax architectures
+# (bert/roberta: query/value; llama/mistral-style: q_proj/v_proj) — the
+# reference's LoraConfig target modules (downstream_model_LLM.py:59-83)
+LORA_TARGET_KEYS = ("query", "value", "q_proj", "v_proj")
+
+
+def find_lora_targets(params, target_keys=LORA_TARGET_KEYS):
+    """Paths (key tuples) of every 2-D ``kernel`` whose parent module name
+    is a LoRA target (attention q/v projections)."""
+    out = []
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            if (k == "kernel" and path and path[-1] in target_keys
+                    and getattr(v, "ndim", 0) == 2):
+                out.append(path + (k,))
+            else:
+                walk(v, path + (k,))
+
+    walk(params, ())
+    return out
+
+
+def _tree_get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _tree_set(tree, path, value):
+    """Immutable nested-dict update (copy-on-write along the path)."""
+    if not path:
+        return value
+    new = dict(tree)
+    new[path[0]] = _tree_set(tree[path[0]], path[1:], value)
+    return new
+
+
 class PretrainedTextEncoder(nn.Module):
-    """Frozen cached HF flax LM + trainable LoRA adapter over hidden states.
+    """Cached HF flax LM with in-LM LoRA on the attention q/v kernels.
+
+    The base weights are captured constants (never flax params); the
+    trainable params are the per-kernel LoRA A/B factors + the optional
+    output projection. Gradients flow through the full LM backward into
+    the A/B factors — peft-equivalent semantics.
 
     ``__call__(token_ids [B, L]) → pooled [B, out_dim or lm_hidden]`` — the
     ``text_model`` contract of ``LinearModelEncoder``
@@ -99,18 +148,27 @@ class PretrainedTextEncoder(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         ids = token_ids.astype(jnp.int32)
         mask = (ids != self.pad_id).astype(jnp.float32)
+        base = self.frozen_params.value
+        lm_params = base
+        if self.lora_rank > 0:
+            scale = self.lora_alpha / self.lora_rank
+            for path in find_lora_targets(base):
+                w = jnp.asarray(_tree_get(base, path))
+                name = "lora_" + "_".join(path[:-1])
+                a = self.param(f"{name}_a", nn.initializers.normal(0.02),
+                               (w.shape[0], self.lora_rank))
+                b = self.param(f"{name}_b", nn.initializers.zeros,
+                               (self.lora_rank, w.shape[1]))
+                lm_params = _tree_set(
+                    lm_params, path,
+                    w + scale * (a.astype(w.dtype) @ b.astype(w.dtype)))
         out = self.lm.value(
             input_ids=ids, attention_mask=mask,
-            params=self.frozen_params.value, train=False)
-        hidden = jax.lax.stop_gradient(out.last_hidden_state)  # [B, L, H]
+            params=lm_params, train=False)
+        hidden = out.last_hidden_state  # [B, L, H] — grads flow to A/B
+        if self.lora_rank == 0:
+            hidden = jax.lax.stop_gradient(hidden)  # pure frozen inference
         h = hidden.shape[-1]
-        if self.lora_rank > 0:
-            a = self.param("lora_a", nn.initializers.normal(0.02),
-                           (h, self.lora_rank))
-            b = self.param("lora_b", nn.initializers.zeros,
-                           (self.lora_rank, h))
-            hidden = hidden + (self.lora_alpha / self.lora_rank) * (
-                (hidden @ a) @ b)
         pooled = mean_pooling(hidden, mask)[:, 0]  # [B, H]
         if self.out_dim and self.out_dim != h:
             pooled = nn.Dense(self.out_dim, name="proj")(pooled)

@@ -203,11 +203,20 @@ def _bwd_kernel(*refs, bt, s, c, nhead, inv_keep, has_mask):
     dbout_ref[:] += dbout.astype(dbout_ref.dtype)
 
 
-def _pick_bt(B: int, block_rows: int) -> int:
-    bt = min(block_rows, B)
-    while B % bt:
-        bt -= 1
-    return max(bt, 1)
+def _pick_bt(B: int, S: int, block_rows: int) -> tuple[int, int]:
+    """Choose a batch-tile size ``bt`` and padded batch ``Bp``.
+
+    Mosaic requires the sublane (second-to-last) block dim to be divisible
+    by 8 (or equal to the whole array dim); our blocks are [bt*S, C], so
+    bt must be a multiple of 8/gcd(S, 8). The wrapper zero-pads the batch
+    axis to ``Bp`` (a bt multiple); padded rows are sliced off the output
+    and contribute nothing to gradients (their upstream ``do`` is zero)."""
+    import math
+
+    mult = 8 // math.gcd(S, 8)
+    bt = max((min(block_rows, B) // mult) * mult, mult)
+    Bp = ((B + bt - 1) // bt) * bt
+    return bt, Bp
 
 
 def _compiler_params(interpret):
@@ -230,9 +239,11 @@ def _make_attention(nhead: int, dropout_rate: float, block_rows: int,
 
     def fwd_call(x, wqkv, bqkv, wout, bout, mask):
         B, S, C = x.shape
-        bt = _pick_bt(B, block_rows)
-        grid = (B // bt,)
+        bt, Bp = _pick_bt(B, S, block_rows)
+        grid = (Bp // bt,)
         x2 = x.reshape(B * S, C)
+        if Bp != B:
+            x2 = jnp.pad(x2, ((0, (Bp - B) * S), (0, 0)))
         kernel = functools.partial(_fwd_kernel, bt=bt, s=S, c=C,
                                    nhead=nhead, inv_keep=inv_keep,
                                    has_mask=has_mask)
@@ -247,20 +258,23 @@ def _make_attention(nhead: int, dropout_rate: float, block_rows: int,
         if has_mask:
             in_specs.append(
                 pl.BlockSpec((bt, nhead * S, S), lambda i: (i, 0, 0)))
-            args.append(mask.reshape(B, nhead * S, S))
+            m2 = mask.reshape(B, nhead * S, S)
+            if Bp != B:
+                m2 = jnp.pad(m2, ((0, Bp - B), (0, 0), (0, 0)))
+            args.append(m2)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((B * S, C), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((Bp * S, C), x.dtype),
             grid=grid, in_specs=in_specs,
             out_specs=pl.BlockSpec((bt * S, C), lambda i: (i, 0)),
             interpret=interpret, **_compiler_params(interpret),
         )(*args)
-        return out.reshape(B, S, C)
+        return out[:B * S].reshape(B, S, C)
 
     def bwd_call(x, wqkv, bqkv, wout, mask, do):
         B, S, C = x.shape
-        bt = _pick_bt(B, block_rows)
-        grid = (B // bt,)
+        bt, Bp = _pick_bt(B, S, block_rows)
+        grid = (Bp // bt,)
         kernel = functools.partial(_bwd_kernel, bt=bt, s=S, c=C,
                                    nhead=nhead, inv_keep=inv_keep,
                                    has_mask=has_mask)
@@ -271,13 +285,20 @@ def _make_attention(nhead: int, dropout_rate: float, block_rows: int,
             pl.BlockSpec((3 * C,), lambda i: (0,)),
             pl.BlockSpec((C, C), lambda i: (0, 0)),
         ]
-        args = [x.reshape(B * S, C), do.reshape(B * S, C), wqkv, bqkv, wout]
+        x2, do2 = x.reshape(B * S, C), do.reshape(B * S, C)
+        if Bp != B:
+            pad = ((0, (Bp - B) * S), (0, 0))
+            x2, do2 = jnp.pad(x2, pad), jnp.pad(do2, pad)
+        args = [x2, do2, wqkv, bqkv, wout]
         if has_mask:
             in_specs.append(
                 pl.BlockSpec((bt, nhead * S, S), lambda i: (i, 0, 0)))
-            args.append(mask.reshape(B, nhead * S, S))
+            m2 = mask.reshape(B, nhead * S, S)
+            if Bp != B:
+                m2 = jnp.pad(m2, ((0, Bp - B), (0, 0), (0, 0)))
+            args.append(m2)
         out_shapes = (
-            jax.ShapeDtypeStruct((B * S, C), x.dtype),       # dx
+            jax.ShapeDtypeStruct((Bp * S, C), x.dtype),      # dx
             jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),   # dwqkv
             jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),   # dbqkv
             jax.ShapeDtypeStruct((C, C), jnp.float32),       # dwout
@@ -295,7 +316,7 @@ def _make_attention(nhead: int, dropout_rate: float, block_rows: int,
             out_specs=out_specs, interpret=interpret,
             **_compiler_params(interpret),
         )(*args)
-        return (dx.reshape(B, S, C), dwqkv, dbqkv.reshape(3 * C),
+        return (dx[:B * S].reshape(B, S, C), dwqkv, dbqkv.reshape(3 * C),
                 dwout, dbout.reshape(C))
 
     @jax.custom_vjp

@@ -21,8 +21,13 @@ four aggregators.
 """
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes as _jax_dtypes
 
 
 def _masked_ids(segment_ids: jnp.ndarray, mask: jnp.ndarray | None,
@@ -109,8 +114,6 @@ def _impl(impl: str | None = None) -> str:
     chip); "scatter" remains available for comparison/debugging."""
     if impl:
         return impl
-    import os
-
     v = os.environ.get("RMM_SEGMENT_IMPL")
     if v:
         return v
@@ -247,6 +250,92 @@ def pna_scalers_from_histogram(deg_histogram) -> float:
     return float(jnp.sum(hist * jnp.log(d + 1.0)) / total)
 
 
+def _pna_combine(mean, mx, mn, sd, n, avg_log_deg):
+    """[N,4F] aggregates + degree scalers → [N,12F]."""
+    agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)
+    deg = jnp.maximum(n[:, 0], 1.0)
+    log_deg = jnp.log(deg + 1.0)[:, None]
+    return jnp.concatenate(
+        [agg, agg * (log_deg / avg_log_deg),
+         agg * (avg_log_deg / log_deg)], axis=-1)
+
+
+def _pna_stats(d2, dst, mask, num_nodes):
+    """(mean, mx, mn, sd, n [N,1]) — sort-based sums/std + scatter
+    extremes (the empirically fastest forward on TPU)."""
+    F = d2.shape[1]
+    order, sk, bounds = _segment_order(dst, num_nodes, mask)
+    ds = d2[order]
+    n = (bounds[1:] - bounds[:-1]).astype(d2.dtype)[:, None]
+    n1 = jnp.maximum(n, 1.0)
+    both = _sums_from_sorted(jnp.concatenate([ds, ds * ds], axis=1), bounds)
+    mean = both[:, :F] / n1
+    mean2 = both[:, F:] / n1
+    sd = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0) + 1e-5)
+    ids = _masked_ids(dst, mask, num_nodes)
+    ext = jax.ops.segment_max(
+        jnp.concatenate([d2, -d2], axis=1), ids,
+        num_segments=num_nodes + 1)[:num_nodes]
+    mx, mn = ext[:, :F], -ext[:, F:]
+    empty = n <= 0
+    mx = jnp.where(empty, 0.0, mx)
+    mn = jnp.where(empty, 0.0, mn)
+    return mean, mx, mn, sd, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pna_cv(messages, dst, mask_arr, num_nodes, avg_log_deg):
+    mean, mx, mn, sd, n = _pna_stats(messages, dst, mask_arr, num_nodes)
+    return _pna_combine(mean, mx, mn, sd, n, avg_log_deg)
+
+
+def _pna_cv_fwd(messages, dst, mask_arr, num_nodes, avg_log_deg):
+    mean, mx, mn, sd, n = _pna_stats(messages, dst, mask_arr, num_nodes)
+    out = _pna_combine(mean, mx, mn, sd, n, avg_log_deg)
+    return out, (messages, dst, mask_arr, mean, mx, mn, sd, n)
+
+
+def _pna_cv_bwd(num_nodes, avg_log_deg, res, dout):
+    """Analytic backward: pure gathers + elementwise — no scatter, no
+    sort transpose, no scan (autodiff of the sorted forward would emit a
+    scatter-add for the gather transpose and a reverse cumsum; this is
+    the hot op of every GNN train step, so the backward is hand-derived).
+
+    Max/min route gradient to every tying element (ties are measure-zero
+    for float messages; padded lanes are masked)."""
+    msg, dst, mask_arr, mean, mx, mn, sd, n = res
+    F = msg.shape[1]
+    n1 = jnp.maximum(n, 1.0)
+    deg = jnp.maximum(n[:, 0], 1.0)
+    log_deg = jnp.log(deg + 1.0)[:, None]
+    amp = log_deg / avg_log_deg
+    att = avg_log_deg / log_deg
+    dagg = (dout[:, :4 * F] + dout[:, 4 * F:8 * F] * amp
+            + dout[:, 8 * F:] * att)                       # [N, 4F]
+    dmean_o = dagg[:, :F]
+    dmx = dagg[:, F:2 * F]
+    dmn = dagg[:, 2 * F:3 * F]
+    dsd = dagg[:, 3 * F:]
+    # sd = sqrt(max(var,0)+eps): zero grad where var was clipped
+    active = (sd * sd - 1e-5) > 0
+    dvar = jnp.where(active, dsd * 0.5 / sd, 0.0)
+    dmean2 = dvar
+    dmean = dmean_o - 2.0 * mean * dvar
+    idx = jnp.clip(dst, 0, num_nodes - 1)
+    inv_n = (1.0 / n1)[idx][:, 0][:, None]
+    g = (dmean[idx] * inv_n
+         + 2.0 * msg * dmean2[idx] * inv_n
+         + jnp.where(msg == mx[idx], dmx[idx], 0.0)
+         + jnp.where(msg == mn[idx], dmn[idx], 0.0))
+    g = jnp.where(mask_arr[:, None], g, 0.0)
+    zero_i = np.zeros(dst.shape, dtype=_jax_dtypes.float0)
+    zero_b = np.zeros(mask_arr.shape, dtype=_jax_dtypes.float0)
+    return g, zero_i, zero_b
+
+
+_pna_cv.defvjp(_pna_cv_fwd, _pna_cv_bwd)
+
+
 def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
                   impl=None):
     """PNA multi-aggregation: [mean|max|min|std] × [identity|amplification|
@@ -256,9 +345,20 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
     ``['mean','max','min','std']`` and scalers
     ``['identity','amplification','attenuation']``
     (``src/nn/models/tabgnn.py:161-169``), over padded static-shape edges.
-    Degree is clamped to ≥1 as in PyG. All four aggregators share ONE sort
-    of the edge lanes (the hot op of every GNN train step)."""
-    if _impl(impl) == "scatter":
+    Degree is clamped to ≥1 as in PyG. The default backend ("cv") pairs
+    the sort+scatter-extremes forward with a hand-derived analytic
+    backward (gathers only — fastest full train step measured on the real
+    chip round 3: cv 182 ms vs scatter 191 ms vs sort 238 ms at the config
+    of record); "sort"/"hybrid"/"scatter" expose the
+    autodiff-differentiated formulations."""
+    which = impl or os.environ.get("RMM_SEGMENT_IMPL") or "cv"
+    if which in ("cv", "sort_cv", "hybrid_cv"):
+        d2, _ = _flatten_trailing(messages)
+        mask_arr = (jnp.ones(d2.shape[0], bool) if mask is None
+                    else mask.astype(bool))
+        return _pna_cv(d2, dst, mask_arr, int(num_nodes),
+                       float(avg_log_deg))
+    if which == "scatter":
         mean = segment_mean(messages, dst, num_nodes, mask)
         mx = segment_max(messages, dst, num_nodes, mask)
         mn = segment_min(messages, dst, num_nodes, mask)
@@ -279,9 +379,20 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
     mean = both[:, :F] / n1
     mean2 = both[:, F:] / n1
     sd = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0) + 1e-5)
-    ext = _extreme_from_sorted(
-        jnp.concatenate([ds, -ds], axis=1), sk, bounds, jnp.maximum, 0.0)
-    mx, mn = ext[:, :F], -ext[:, F:]
+    if which == "hybrid":
+        # sums/std from the sort, extremes from XLA scatter-max (one
+        # combined scatter over [E, 2F]) — extremes via scatter are cheap
+        # (no log(E) doubling chain) while the sums ride the shared sort
+        ids = _masked_ids(dst, mask, num_nodes)
+        ext = jax.ops.segment_max(
+            jnp.concatenate([d2, -d2], axis=1), ids,
+            num_segments=num_nodes + 1)[:num_nodes]
+        mx, mn = ext[:, :F], -ext[:, F:]
+    else:
+        ext = _extreme_from_sorted(
+            jnp.concatenate([ds, -ds], axis=1), sk, bounds, jnp.maximum,
+            0.0)
+        mx, mn = ext[:, :F], -ext[:, F:]
     empty = n <= 0
     mx = jnp.where(empty, 0.0, mx)
     mn = jnp.where(empty, 0.0, mn)

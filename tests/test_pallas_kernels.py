@@ -120,3 +120,43 @@ def test_fused_attention_dropout_semantics():
         np.asarray(out),
         np.asarray(fused_column_attention(x, wqkv, bqkv, wout, bout, H,
                                           block_rows=4, interpret=True)))
+
+
+def test_fused_attention_nondivisible_batch_padding():
+    """B not divisible by a sublane-friendly tile (the SSL-config shape
+    class: bt*S must be divisible by 8 — found round 3 when B=13000, S=6
+    picked bt=125 → block rows 750). The wrapper now pads the batch axis;
+    forward AND backward must match the reference exactly on the real
+    rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rmm_tpu.ops.pallas.column_attention import (
+        fused_column_attention,
+        reference_column_attention,
+    )
+
+    rng = np.random.RandomState(7)
+    B, S, C, H = 10, 6, 16, 4   # bt=8 (mult=4), Bp=16 → padding exercised
+    x = jnp.asarray(rng.randn(B, S, C).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.randn(3 * C).astype(np.float32) * 0.1)
+    wout = jnp.asarray(rng.randn(C, C).astype(np.float32) * 0.1)
+    bout = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+
+    got = fused_column_attention(x, wqkv, bqkv, wout, bout, H,
+                                 block_rows=8, interpret=True)
+    want = reference_column_attention(x, wqkv, bqkv, wout, bout, H)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def loss_f(args, fn, **kw):
+        return (fn(*args, H, **kw) ** 2).sum()
+
+    g_f = jax.grad(lambda a: loss_f(a, fused_column_attention,
+                                    block_rows=8, interpret=True))(
+        (x, wqkv, bqkv, wout, bout))
+    g_r = jax.grad(lambda a: loss_f(a, reference_column_attention))(
+        (x, wqkv, bqkv, wout, bout))
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(a, b, atol=2e-4)

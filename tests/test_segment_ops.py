@@ -129,9 +129,10 @@ def test_sort_scatter_equivalence():
         a = segment_std(data, ids, N, impl="sort", **kw)
         b = segment_std(data, ids, N, impl="scatter", **kw)
         np.testing.assert_allclose(a, b, atol=2e-4)
-        a = pna_aggregate(data, ids, N, 1.7, impl="sort", **kw)
         b = pna_aggregate(data, ids, N, 1.7, impl="scatter", **kw)
-        np.testing.assert_allclose(a, b, atol=2e-4)
+        for which in ("sort", "hybrid", "cv"):
+            a = pna_aggregate(data, ids, N, 1.7, impl=which, **kw)
+            np.testing.assert_allclose(a, b, atol=2e-4, err_msg=which)
 
 
 def test_sort_scatter_grad_equivalence():
@@ -148,6 +149,7 @@ def test_sort_scatter_grad_equivalence():
     def loss(d, impl):
         return (pna_aggregate(d, ids, N, 1.3, mask, impl=impl) ** 2).sum()
 
-    g_sort = jax.grad(lambda d: loss(d, "sort"))(data)
     g_scat = jax.grad(lambda d: loss(d, "scatter"))(data)
-    np.testing.assert_allclose(g_sort, g_scat, atol=2e-3)
+    for which in ("sort", "hybrid", "cv"):
+        g = jax.grad(lambda d: loss(d, which))(data)
+        np.testing.assert_allclose(g, g_scat, atol=2e-3, err_msg=which)

@@ -153,8 +153,10 @@ def test_pretrained_lm_cache_gated_error():
 
 
 def test_pretrained_lm_lora_finetune_path(tiny_hf_checkpoint):
-    """Frozen cached LM + trainable LoRA: loads from a local checkpoint,
-    jits, and grads flow ONLY into the adapter."""
+    """TRUE in-LM LoRA: A/B factors injected into the LM's attention
+    query/value kernels (peft target modules,
+    ``downstream_model_LLM.py:59-83``); grads flow through the LM backward
+    into the factors; base weights are constants, not params."""
     from rmm_tpu.nn.text import pretrained_text_model
 
     module, tokenizer, hidden = pretrained_text_model(
@@ -164,20 +166,29 @@ def test_pretrained_lm_lora_finetune_path(tiny_hf_checkpoint):
     assert ids.shape == (3, 16)
     params = module.init(jax.random.PRNGKey(0), jnp.asarray(ids))
     # the trainable tree contains ONLY adapter params (base is frozen
-    # constants, not parameters)
+    # constants, not parameters) ...
     names = jax.tree_util.tree_leaves_with_path(params["params"])
     keys = {"/".join(str(getattr(k, "key", k)) for k in path)
             for path, _ in names}
     assert all("lora" in k or "proj" in k for k in keys), keys
+    # ... and the LoRA factors target LM-INTERNAL q/v kernels
+    assert any("query" in k and k.endswith("_a") for k in keys), keys
+    assert any("value" in k and k.endswith("_b") for k in keys), keys
 
     @jax.jit
     def loss(p, ids):
-        return module.apply(p, ids).sum()
+        return (module.apply(p, ids) ** 2).sum()
 
     g = jax.grad(loss)(params, jnp.asarray(ids))
-    leaves = jax.tree_util.tree_leaves(g)
-    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
-    assert any(float(np.abs(np.asarray(l)).sum()) > 0 for l in leaves)
+    leaves = jax.tree_util.tree_leaves_with_path(g["params"])
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+            for path, v in leaves}
+    assert all(np.isfinite(v).all() for v in flat.values())
+    # LoRA calculus at init (B=0): the B factors of the in-LM kernels get
+    # NONZERO grads (dB = Aᵀ·dW ≠ 0) — proof that gradients enter the LM
+    for k, v in flat.items():
+        if ("query" in k or "value" in k) and k.endswith("_b"):
+            assert float(np.abs(v).sum()) > 0, k
 
 
 def test_downstream_trainer_with_pretrained_lm(tiny_hf_checkpoint,
