@@ -92,6 +92,102 @@ def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def make_dp_pretrain_step(pm, tx, mesh: Mesh, mode: str, axis: str = "data"):
+    """SPMD SSL pretrain step (fused.py's joint MCM+LP loop under DP).
+
+    Each chip runs BOTH model views of ``PretrainModel.mode_losses`` (the
+    LP pass over neighbor edges + the MCM pass over all edges,
+    ``fused.py:277-288``) on its own subgraph batch; gradients, losses and
+    batch-stats are real-weighted ``psum``s over ICI exactly as the
+    supervised DP step. Signature: (params, batch_stats, opt_state,
+    stacked_batch, rngs[D], real[D], edge_table) → (params, batch_stats,
+    opt_state, loss)."""
+    import optax
+
+    def per_chip(params, batch_stats, opt_state, batch, rng, real,
+                 edge_table):
+        batch = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, batch)
+        rng = rng[0]
+        w = real[0].astype(jnp.float32)
+        denom = jax.lax.psum(w, axis)
+
+        def loss_fn(p):
+            losses, _aux, stats = pm.mode_losses(
+                p, batch_stats, batch, edge_table, rng, True, mode)
+            return sum(losses.values()), stats
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, axis) / denom, grads)
+        loss = jax.lax.psum(loss * w, axis) / denom
+        stats = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s * w, axis) / denom, stats)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, stats, opt_state, loss
+
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P()))
+    return jax.jit(sharded)
+
+
+def make_dp_device_train_step(model, tx, loss_from_pred: Callable,
+                              materialize: Callable, mesh: Mesh,
+                              axis: str = "data"):
+    """DP train step with IN-JIT device-side sampling: each chip receives
+    only its light ``SeedBatch`` (seed ids + labels, ~KB) — the k-hop
+    subgraph materializes on-device from the HBM-resident CSR inside the
+    same SPMD program (``graph/device_sampler.py``), so host→device
+    traffic is seeds-only and per-chip sampling scales with the mesh.
+
+    ``materialize(sb, dgraph) → (GraphBatch, num_dropped, num_kept)`` is
+    the trainer's ``_materialize_dev``. Signature: (variables, opt_state,
+    stacked_seed_batch, rngs[D], real[D], edge_table, node_table, dgraph)
+    → (variables, opt_state, loss, dropped[D])."""
+
+    def per_chip(variables, opt_state, sb, rng, real, edge_table,
+                 node_table, dgraph):
+        sb = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, sb)
+        rng = rng[0]
+        w = real[0].astype(jnp.float32)
+        denom = jax.lax.psum(w, axis)
+        batch, n_drop, _kept = materialize(sb, dgraph)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                edge_table, node_table, batch, True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss, _aux = loss_from_pred(out, batch)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, axis) / denom, grads)
+        loss = jax.lax.psum(loss * w, axis) / denom
+        mutated = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s * w, axis) / denom, mutated)
+        updates, opt_state = tx.update(grads, opt_state,
+                                       variables["params"])
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, variables["params"], updates)
+        return ({"params": params, **mutated}, opt_state, loss,
+                n_drop[None])
+
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(axis)))
+    return jax.jit(sharded)
+
+
 def make_dp_eval_step(model, loss_from_pred: Callable, mesh: Mesh,
                       axis: str = "data"):
     """Forward-only SPMD step: each chip evaluates its own batch; aux comes
