@@ -26,7 +26,8 @@ class PNAConv(nn.Module):
     """Principal Neighbourhood Aggregation convolution.
 
     message  m_e = pre_nn([x_dst_e, x_src_e, edge_enc(edge_attr_e)])
-    aggregate    = [mean|max|min|std] × [id|amp|atten] → [N, 12F]
+    aggregate    = [mean|min|max|std] × [id|amp|atten] → [N, 12F]
+                   (PyG aggregator order, ``src/nn/gnn/pna.py:60-61``)
     update   out = lin(post_nn([x, agg]))
     matching PyG ``PNAConv`` with the reference's configuration.
     ``avg_log_deg`` comes from the train-graph in-degree histogram

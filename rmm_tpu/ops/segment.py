@@ -251,8 +251,13 @@ def pna_scalers_from_histogram(deg_histogram) -> float:
 
 
 def _pna_combine(mean, mx, mn, sd, n, avg_log_deg):
-    """[N,4F] aggregates + degree scalers → [N,12F]."""
-    agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)
+    """[N,4F] aggregates + degree scalers → [N,12F].
+
+    Aggregator order is [mean, min, max, std] — exactly PyG's
+    ``aggregators=['mean','min','max','std']`` as configured by the
+    reference (``src/nn/gnn/pna.py:60-61``), so fixed-weight golden
+    parity holds block-for-block."""
+    agg = jnp.concatenate([mean, mn, mx, sd], axis=-1)
     deg = jnp.maximum(n[:, 0], 1.0)
     log_deg = jnp.log(deg + 1.0)[:, None]
     return jnp.concatenate(
@@ -313,8 +318,8 @@ def _pna_cv_bwd(num_nodes, avg_log_deg, res, dout):
     dagg = (dout[:, :4 * F] + dout[:, 4 * F:8 * F] * amp
             + dout[:, 8 * F:] * att)                       # [N, 4F]
     dmean_o = dagg[:, :F]
-    dmx = dagg[:, F:2 * F]
-    dmn = dagg[:, 2 * F:3 * F]
+    dmn = dagg[:, F:2 * F]
+    dmx = dagg[:, 2 * F:3 * F]
     dsd = dagg[:, 3 * F:]
     # sd = sqrt(max(var,0)+eps): zero grad where var was clipped
     active = (sd * sd - 1e-5) > 0
@@ -338,11 +343,11 @@ _pna_cv.defvjp(_pna_cv_fwd, _pna_cv_bwd)
 
 def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
                   impl=None):
-    """PNA multi-aggregation: [mean|max|min|std] × [identity|amplification|
+    """PNA multi-aggregation: [mean|min|max|std] × [identity|amplification|
     attenuation] → [N, 12·F].
 
     Mirrors PyG ``PNAConv.aggregate`` with aggregators
-    ``['mean','max','min','std']`` and scalers
+    ``['mean','min','max','std']`` and scalers
     ``['identity','amplification','attenuation']``
     (``src/nn/models/tabgnn.py:161-169``), over padded static-shape edges.
     Degree is clamped to ≥1 as in PyG. The default backend ("cv") pairs
@@ -363,7 +368,7 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
         mx = segment_max(messages, dst, num_nodes, mask)
         mn = segment_min(messages, dst, num_nodes, mask)
         sd = segment_std(messages, dst, num_nodes, mask)
-        agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)
+        agg = jnp.concatenate([mean, mn, mx, sd], axis=-1)
         deg = jnp.maximum(degree(dst, num_nodes, mask), 1.0)
         log_deg = jnp.log(deg + 1.0)[:, None]
         return jnp.concatenate(
@@ -396,7 +401,7 @@ def pna_aggregate(messages, dst, num_nodes, avg_log_deg, mask=None,
     empty = n <= 0
     mx = jnp.where(empty, 0.0, mx)
     mn = jnp.where(empty, 0.0, mn)
-    agg = jnp.concatenate([mean, mx, mn, sd], axis=-1)  # [N, 4F]
+    agg = jnp.concatenate([mean, mn, mx, sd], axis=-1)  # [N, 4F]
 
     deg = jnp.maximum(n[:, 0], 1.0)
     log_deg = jnp.log(deg + 1.0)[:, None]
