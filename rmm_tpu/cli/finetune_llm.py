@@ -40,7 +40,8 @@ def read_dataset(csv_path: str, text_col: str = "reviewText",
 def finetune_llm(csv_path: str, epochs: int = 5, batch_size: int = 128,
                  lr: float = 1e-3, hidden: int = 128, num_layers: int = 2,
                  lora_rank: int = 8, max_length: int = 64, seed: int = 0,
-                 text_model: str = "hashing", run_logger=None):
+                 text_model: str = "hashing", run_logger=None,
+                 save_model: str | None = None):
     # pretrained path first (the reference finetunes an actual HF LM,
     # finetune_LLM.py:29-90): cache-gated, clear fallback
     encoder, tokenizer, enc_hidden = None, None, hidden
@@ -123,6 +124,24 @@ def finetune_llm(csv_path: str, epochs: int = 5, batch_size: int = 128,
         if run_logger is not None:
             run_logger.log(rec, step=epoch)
         history.append(rec)
+    if save_model:
+        from ..nn.text.pretrained import PretrainedTextEncoder
+        if isinstance(encoder, PretrainedTextEncoder):
+            # stage-1 export of the two-stage workflow: merge LoRA into
+            # the base kernels, save an HF checkpoint stage 2 loads via
+            # --text_model <dir> (ref slurm/separate/stage1→stage2)
+            from ..nn.text.pretrained import export_finetuned_lm
+
+            export_finetuned_lm(encoder, params["encoder"], tokenizer,
+                                save_model)
+            logger.info("exported LoRA-merged LM to %s", save_model)
+        else:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(save_model, "final",
+                            {"params": {"encoder": params["encoder"],
+                                        "head": params["head"]}})
+            logger.info("saved flax encoder+head to %s", save_model)
     return history, params
 
 
@@ -143,6 +162,10 @@ def main(argv=None):
                         "/ path present in the local cache")
     p.add_argument("--testing", action="store_true")
     p.add_argument("--wandb_dir", default="wandb/", type=str)
+    p.add_argument("--save_model", default=None, type=str,
+                   help="export dir: LoRA-merged HF checkpoint (pretrained "
+                        "path) or flax encoder+head pytrees — stage-2 CLIs "
+                        "load it via --text_model <dir>")
     args = p.parse_args(argv)
     logger_setup()
     rl = RunLogger(os.path.join(args.wandb_dir, "run_finetune_llm"),
@@ -151,7 +174,8 @@ def main(argv=None):
         args.dataset, epochs=args.epochs, batch_size=args.batch_size,
         lr=args.lr, hidden=args.hidden, num_layers=args.num_layers,
         lora_rank=args.lora_rank, max_length=args.max_length,
-        text_model=args.text_model, run_logger=rl)
+        text_model=args.text_model, run_logger=rl,
+        save_model=args.save_model)
     rl.close()
     return history
 

@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None, type=str,
                    help="epoch checkpoint dir to resume from")
     p.add_argument("--save_model", action="store_true")
+    p.add_argument("--mask_vector", action="store_true",
+                   help="add the VIME-style mask-vector head + loss to "
+                        "the MCM objective (the MV leg of the reference's "
+                        "fused_mcm_mv_lp workflow)")
     p.add_argument("--batch_size", default=200, type=int)
     p.add_argument("--lr", default=2e-4, type=float)
     p.add_argument("--eps", default=1e-8, type=float)
@@ -49,7 +53,8 @@ def main(argv=None):
     dataset = IBMTransactionsAML(
         root=cfg.data, pretrain={PretrainType.MASK},
         split_type=cfg.split_type, channels=cfg.n_hidden)
-    trainer = TabularMCMTrainer(cfg, dataset.edges)
+    trainer = TabularMCMTrainer(cfg, dataset.edges,
+                                mask_vector=args.mask_vector)
     start_epoch, best = 0, None
     if args.checkpoint:
         from ..utils.checkpoint import parse_checkpoint_path

@@ -73,7 +73,23 @@ class TextToEmbedding:
         try:
             self.tokenizer = AutoTokenizer.from_pretrained(model)
             kwargs = {"torch_dtype": torch.bfloat16} if self.is_e5 else {}
-            self.model = AutoModel.from_pretrained(model, **kwargs)
+            try:
+                self.model = AutoModel.from_pretrained(model, **kwargs)
+            except OSError:
+                # flax-only checkpoint (e.g. a stage-1 LoRA-merged export
+                # from cli.finetune_llm --save_model): convert via
+                # from_flax (low_cpu_mem_usage=False — the meta-device
+                # fast path breaks the flax→torch conversion)
+                self.model = AutoModel.from_pretrained(
+                    model, from_flax=True, low_cpu_mem_usage=False,
+                    **kwargs)
+                if any(p.device.type == "meta"
+                       for p in self.model.parameters()):
+                    # this transformers/torch combination leaves converted
+                    # weights on the meta device — unusable at inference;
+                    # signal get_text_embedder to take the flax path
+                    raise RuntimeError(
+                        "flax→torch conversion produced meta tensors")
         except OSError as e:
             raise RuntimeError(
                 f"model '{model}' is not in the local HF cache and this "
@@ -104,7 +120,71 @@ class TextToEmbedding:
         return np.concatenate(outs, axis=0)
 
 
+class FlaxTextToEmbedding:
+    """Flax/XLA frozen embedder — the TPU-native twin of
+    :class:`TextToEmbedding` (same pooling semantics, jitted forward).
+    Primary consumer: stage-1 LoRA-merged LM exports
+    (``cli.finetune_llm --save_model``), which are flax checkpoints."""
+
+    def __init__(self, model: str, device: str = "cpu",
+                 batch_size: int = 32, max_length: int = 512):
+        try:
+            from transformers import AutoTokenizer, FlaxAutoModel
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("transformers unavailable") from e
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(model)
+            self.model = FlaxAutoModel.from_pretrained(model)
+        except (OSError, EnvironmentError, ValueError) as e:
+            raise RuntimeError(
+                f"model '{model}' is not in the local HF cache and this "
+                "environment has no network egress; use "
+                "HashingTextEmbedder or pre-populate the cache") from e
+        self.model_name = model
+        self.batch_size = batch_size
+        self.is_e5 = "e5-mistral" in model
+        self.max_length = min(
+            max_length,
+            int(getattr(self.model.config, "max_position_embeddings",
+                        max_length)))
+
+        import jax
+        import jax.numpy as jnp
+
+        lm, is_e5 = self.model, self.is_e5
+
+        def fwd(ids, mask):
+            hidden = lm(input_ids=ids, attention_mask=mask).last_hidden_state
+            if is_e5:
+                lengths = mask.sum(axis=1).astype(jnp.int32) - 1
+                return hidden[jnp.arange(hidden.shape[0]), lengths]
+            m = mask[..., None].astype(hidden.dtype)
+            return (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1e-9)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, sentences: Sequence[str]) -> np.ndarray:
+        outs = []
+        for i in range(0, len(sentences), self.batch_size):
+            chunk = [s or "" for s in sentences[i : i + self.batch_size]]
+            if self.is_e5:
+                chunk = [TextToEmbedding.E5_PREFIX + s for s in chunk]
+            n = len(chunk)
+            if n < self.batch_size:  # static shapes: pad the tail batch
+                chunk = chunk + [""] * (self.batch_size - n)
+            toks = self.tokenizer(chunk, padding="max_length",
+                                  truncation=True,
+                                  max_length=self.max_length,
+                                  return_tensors="np")
+            emb = self._fwd(toks["input_ids"], toks["attention_mask"])
+            outs.append(np.asarray(emb, dtype=np.float32)[:n])
+        return np.concatenate(outs, axis=0)
+
+
 def get_text_embedder(model: str = "hashing", dim: int = 256, **kw):
     if model == "hashing":
         return HashingTextEmbedder(dim=dim, **kw)
-    return TextToEmbedding(model, **kw)
+    try:
+        return TextToEmbedding(model, **kw)
+    except RuntimeError:
+        return FlaxTextToEmbedding(model, **kw)

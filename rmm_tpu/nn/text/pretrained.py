@@ -175,6 +175,43 @@ class PretrainedTextEncoder(nn.Module):
         return pooled
 
 
+def merge_lora_into_base(module: "PretrainedTextEncoder", variables) -> Any:
+    """Fold the trained LoRA factors back into the base LM's kernels:
+    W_eff = W + (α/r)·A·B for every targeted q/v projection. Returns a
+    full LM param tree (numpy leaves) ready for ``save_pretrained``.
+
+    This is the export half of the reference's two-stage workflow
+    (``finetune_LLM.py`` trains + saves the adapted LM; stage-2
+    ``downstream_model_LLM.py`` loads it) — the merged tree loads through
+    ``load_cached_lm(<export dir>)`` with no LoRA machinery required."""
+    base = module.frozen_params.value
+    p = variables.get("params", variables)
+    merged = base
+    if module.lora_rank > 0:
+        scale = module.lora_alpha / module.lora_rank
+        for path in find_lora_targets(base):
+            name = "lora_" + "_".join(path[:-1])
+            if f"{name}_a" not in p or f"{name}_b" not in p:
+                continue
+            w = jnp.asarray(_tree_get(base, path))
+            a = jnp.asarray(p[f"{name}_a"])
+            b = jnp.asarray(p[f"{name}_b"])
+            w_eff = w + scale * (a.astype(w.dtype) @ b.astype(w.dtype))
+            merged = _tree_set(merged, path, np.asarray(w_eff))
+    return jax.tree_util.tree_map(np.asarray, merged)
+
+
+def export_finetuned_lm(module: "PretrainedTextEncoder", variables,
+                        tokenizer_wrapper: "HFTokenizerWrapper",
+                        out_dir: str) -> str:
+    """Save the LoRA-merged LM + tokenizer as a standard HF checkpoint dir
+    consumable by stage-2 CLIs via ``--text_model <out_dir>``."""
+    merged = merge_lora_into_base(module, variables)
+    module.lm.value.save_pretrained(out_dir, params=merged)
+    tokenizer_wrapper.tokenizer.save_pretrained(out_dir)
+    return out_dir
+
+
 def pretrained_text_model(model_name_or_path: str, lora_rank: int = 8,
                           out_dim: int = 0, max_length: int = 64):
     """One-call factory: (PretrainedTextEncoder module, tokenizer wrapper,
