@@ -1,6 +1,7 @@
 from .ft_transformer import FTTransformer  # noqa: F401
 from .tabgnn import TABGNN, PNALayer  # noqa: F401
-from .fused import TABGNNFused, FTTransformerPNAFusedLayer  # noqa: F401
+from .fused import (TABGNNFused, FTTransformerPNAFusedLayer,  # noqa: F401
+                    stack_fused_layers, unstack_fused_layers)
 from .interleaved import (  # noqa: F401
     TABGNNInterleaved,
     FTTransformerPNAInterleavedLayer,

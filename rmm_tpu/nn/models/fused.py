@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops.segment import scatter_mean_update
@@ -102,6 +103,37 @@ class FTTransformerPNAFusedLayer(nn.Module):
         return x_tab, x_gnn, edge_attr
 
 
+class _FusedLayerScanBody(nn.Module):
+    """``nn.scan`` body wrapping one fused layer: carry =
+    (x_tab, x_gnn, edge_attr); the graph topology/masks broadcast across
+    steps. Used when ``TABGNNFused.scan_layers`` — the traced program then
+    contains ONE layer body instead of ``num_layers`` unrolled copies,
+    which is what keeps the C=128/3-layer SSL step's StableHLO small
+    enough for memory-bounded AOT compile services."""
+
+    channels: int
+    nhidden: int
+    avg_log_deg: float
+    reverse_mp: bool
+    nhead: int
+    dropout: float
+    feedforward_channels: Optional[int]
+    lp: bool
+    train: bool
+
+    @nn.compact
+    def __call__(self, carry, edge_index, target_edge_index, edge_mask,
+                 node_mask):
+        x_tab, x_gnn, edge_attr = carry
+        x_tab, x_gnn, edge_attr = FTTransformerPNAFusedLayer(
+            self.channels, self.nhidden, self.avg_log_deg, self.reverse_mp,
+            self.nhead, self.dropout, self.feedforward_channels,
+            name="layer")(
+            x_tab, x_gnn, edge_index, edge_attr, target_edge_index,
+            self.lp, edge_mask, node_mask, self.train)
+        return (x_tab, x_gnn, edge_attr), None
+
+
 class TABGNNFused(nn.Module):
     channels: int
     num_layers: int
@@ -112,6 +144,7 @@ class TABGNNFused(nn.Module):
     nhead: int = 8
     dropout: float = 0.5
     feedforward_channels: Optional[int] = None
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x, edge_index, edge_attr, target_edge_index,
@@ -142,15 +175,53 @@ class TABGNNFused(nn.Module):
         edge_attr = edge_emb(edge_attr.reshape(edge_attr.shape[0], -1))
 
         x_tab = target_edge_attr
-        for i in range(self.num_layers):
-            x_tab, x_gnn, edge_attr = FTTransformerPNAFusedLayer(
-                self.channels, self.nhidden, self.avg_log_deg,
-                self.reverse_mp, self.nhead, self.dropout,
-                self.feedforward_channels, name=f"layer_{i}")(
-                x_tab, x_gnn, edge_index, edge_attr, target_edge_index, lp,
-                edge_mask, node_mask, train)
+        if self.scan_layers:
+            scanned = nn.scan(
+                _FusedLayerScanBody,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers,
+            )(self.channels, self.nhidden, self.avg_log_deg,
+              self.reverse_mp, self.nhead, self.dropout,
+              self.feedforward_channels, lp, train, name="layers")
+            (x_tab, x_gnn, edge_attr), _ = scanned(
+                (x_tab, x_gnn, edge_attr), edge_index, target_edge_index,
+                edge_mask, node_mask)
+        else:
+            for i in range(self.num_layers):
+                x_tab, x_gnn, edge_attr = FTTransformerPNAFusedLayer(
+                    self.channels, self.nhidden, self.avg_log_deg,
+                    self.reverse_mp, self.nhead, self.dropout,
+                    self.feedforward_channels, name=f"layer_{i}")(
+                    x_tab, x_gnn, edge_index, edge_attr, target_edge_index,
+                    lp, edge_mask, node_mask, train)
 
         target_edge_attr = (x_tab + target_edge_attr) / 2.0
         target_edge_attr = edge_emb(
             target_edge_attr.reshape(target_edge_attr.shape[0], -1))
         return x_gnn, edge_attr, target_edge_attr
+
+
+def stack_fused_layers(tree: dict, num_layers: int) -> dict:
+    """Convert an unrolled TABGNNFused variable subtree
+    (``layer_0`` … ``layer_{N-1}``) to the ``scan_layers`` layout
+    (``layers/layer`` with a stacked leading axis). Works on either the
+    ``params`` or ``batch_stats`` collection; lets checkpoints saved from
+    an unrolled model load into a scanned one."""
+    out = {k: v for k, v in tree.items() if not k.startswith("layer_")}
+    per = [tree[f"layer_{i}"] for i in range(num_layers)]
+    out["layers"] = {"layer": jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *per)}
+    return out
+
+
+def unstack_fused_layers(tree: dict) -> dict:
+    """Inverse of :func:`stack_fused_layers`."""
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    stacked = tree["layers"]["layer"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"layer_{i}"] = jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                                   stacked)
+    return out

@@ -59,7 +59,7 @@ class PretrainModel:
             channels=cfg.n_hidden, num_layers=cfg.n_gnn_layers,
             node_dim=self.node_dim, nhidden=cfg.n_hidden,
             avg_log_deg=avg_log_deg, reverse_mp=cfg.reverse_mp,
-            dropout=cfg.dropout)
+            dropout=cfg.dropout, scan_layers=cfg.scan_layers)
         self.mcm_head = MCMHead(
             cfg.n_hidden, len(edges.masked_numerical_columns),
             tuple(edges.masked_categorical_cardinalities()), w=3)

@@ -287,6 +287,7 @@ class TABGNNFusedS(nn.Module):
     task: str = "edge_classification"
     mcm_num_numerical: int = 0
     mcm_categorical: Sequence[int] = ()
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, edge_table: TensorFrame, node_table: TensorFrame,
@@ -312,7 +313,8 @@ class TABGNNFusedS(nn.Module):
             channels=self.channels, num_layers=self.n_gnn_layers,
             node_dim=x_tok.shape[1] * x_tok.shape[2],
             nhidden=self.channels, avg_log_deg=self.avg_log_deg,
-            reverse_mp=self.reverse_mp, dropout=self.dropout, name="model")
+            reverse_mp=self.reverse_mp, dropout=self.dropout,
+            scan_layers=self.scan_layers, name="model")
         x, edge_attr, target_edge_attr = model(
             x_tok.reshape(x_tok.shape[0], -1), neigh_ei, neigh_tok,
             target_ei, target_tok, False, neigh_mask, batch.node_mask, train)

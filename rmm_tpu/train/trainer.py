@@ -72,7 +72,8 @@ def build_task_model(cfg: Config, dataset):
         return task_models.TABGNNFusedS(
             channels=cfg.n_hidden, n_gnn_layers=cfg.n_gnn_layers,
             avg_log_deg=avg_log_deg, reverse_mp=cfg.reverse_mp,
-            mcm_num_numerical=mcm_nn, mcm_categorical=mcm_cat, **common)
+            mcm_num_numerical=mcm_nn, mcm_categorical=mcm_cat,
+            scan_layers=cfg.scan_layers, **common)
     raise ValueError(f"Invalid model name: {cfg.model}")
 
 

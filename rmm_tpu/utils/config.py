@@ -68,6 +68,14 @@ class Config:
                                   # device sampling is opt-in (see
                                   # graph/device_sampler.use_device_sampler)
 
+    scan_layers: bool = False     # lax.scan over the fused GNN layer stack
+                                  # (stacked params, ONE traced layer body)
+                                  # instead of Python-unrolled layers —
+                                  # shrinks the train-step program ~linearly
+                                  # in n_gnn_layers; required to fit the
+                                  # C=128/3-layer SSL step through
+                                  # memory-bounded AOT compile services
+
     precision: str = "f32"        # f32 | bf16 — bf16 keeps f32 master
                                   # params and casts params + feature
                                   # tables + activations to bfloat16 for
@@ -142,6 +150,9 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="f32", choices=("f32", "bf16"),
                    help="bf16 = mixed precision (f32 master params, "
                         "bf16 activations/matmuls)")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over the fused layer stack (smaller "
+                        "compiled program; stacked param layout)")
     return p
 
 
@@ -171,6 +182,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(sampler=args.sampler)
     if getattr(args, "precision", "f32") != "f32":
         cfg = cfg.replace(precision=args.precision)
+    if getattr(args, "scan_layers", False):
+        cfg = cfg.replace(scan_layers=True)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)

@@ -245,3 +245,69 @@ def test_f1_binary_and_weighted():
             sk_f1(yt, yp, average="weighted"), rtol=1e-9)
     except ImportError:
         pass
+
+
+def test_fused_scan_layers_matches_unrolled(graph_batch):
+    """scan_layers=True (lax.scan over stacked layer params) must be
+    numerically identical to the unrolled stack in deterministic mode."""
+    from rmm_tpu.nn.models import stack_fused_layers
+
+    g = graph_batch
+    tei = g["ei"][:, :B]
+    kw = dict(channels=C, num_layers=3, node_dim=5, nhidden=H,
+              avg_log_deg=1.1)
+    m_unroll = TABGNNFused(**kw)
+    m_scan = TABGNNFused(scan_layers=True, **kw)
+    vs = m_unroll.init(g["key"], g["nf"], g["ei"], g["e_tok"], tei,
+                       g["e_tok"][:B])
+    vs_scan = {
+        "params": stack_fused_layers(vs["params"], 3),
+        "batch_stats": stack_fused_layers(vs["batch_stats"], 3),
+    }
+    # layouts must agree with a freshly initialized scanned model
+    ref = m_scan.init(g["key"], g["nf"], g["ei"], g["e_tok"], tei,
+                      g["e_tok"][:B])
+    assert (jax.tree_util.tree_structure(ref["params"])
+            == jax.tree_util.tree_structure(vs_scan["params"]))
+    for lp in (False, True):
+        out_u = m_unroll.apply(vs, g["nf"], g["ei"], g["e_tok"], tei,
+                               g["e_tok"][:B], lp, g["emask"], g["nmask"])
+        out_s = m_scan.apply(vs_scan, g["nf"], g["ei"], g["e_tok"], tei,
+                             g["e_tok"][:B], lp, g["emask"], g["nmask"])
+        for a, b in zip(out_u, out_s):
+            # identical math, but XLA fuses the scan body differently than
+            # the unrolled graph → f32 reassociation noise only
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+
+def test_fused_scan_layers_train_grads(graph_batch):
+    """Training mode under scan: dropout rngs split per step, batch_stats
+    update (stacked axis 0), grads finite and nonzero for every layer."""
+    g = graph_batch
+    tei = g["ei"][:, :B]
+    m = TABGNNFused(channels=C, num_layers=2, node_dim=5, nhidden=H,
+                    avg_log_deg=1.1, scan_layers=True)
+    vs = m.init(g["key"], g["nf"], g["ei"], g["e_tok"], tei, g["e_tok"][:B])
+    assert "layers" in vs["params"]
+
+    def loss(params):
+        (xg, ea, tea), mut = m.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]},
+            g["nf"], g["ei"], g["e_tok"], tei, g["e_tok"][:B], False,
+            g["emask"], g["nmask"], True, mutable=["batch_stats"],
+            rngs={"dropout": g["key"]})
+        return jnp.sum(xg ** 2) + jnp.sum(tea ** 2), mut
+
+    (val, mut), grads = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+    assert np.isfinite(float(val))
+    stacked = grads["layers"]["layer"]
+    for leaf in jax.tree_util.tree_leaves(stacked):
+        assert leaf.shape[0] == 2
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    gnorm = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(stacked))
+    assert gnorm > 0
+    # batch_stats carried through the scan keep the stacked leading axis
+    for leaf in jax.tree_util.tree_leaves(mut["batch_stats"]["layers"]):
+        assert leaf.shape[0] == 2
