@@ -153,7 +153,8 @@ def build_trainer(rows: int):
     cfg = Config(model="tabgnn", data=csv, task="edge_classification",
                  batch_size=200, n_hidden=32, n_gnn_layers=2,
                  num_neighs=(100, 100), steps_per_dispatch=TRAIN_K,
-                 sampler_threads=4, epochs=1, testing=True)
+                 sampler_threads=4, epochs=1, testing=True,
+                 sampler=os.environ.get("BENCH_SAMPLER", "auto"))
     ds = IBMTransactionsAML(root=csv, khop_neighbors=cfg.num_neighs,
                             channels=cfg.n_hidden)
     return cfg, ds, Trainer(cfg, ds)

@@ -1,10 +1,13 @@
 """CLI-level smoke tests for the fused SSL pretrainer entry point,
 including the ETH dataset dispatch (reference ``fused.py:498-516``
 pretrains on IBM *and* ETH; VERDICT r2 missing #2)."""
+import pytest
 import numpy as np
 
 from rmm_tpu.datasets.synthetic import (write_synthetic_aml_csv,
                                         write_synthetic_node_dataset)
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
 
 
 def test_fused_cli_eth_dispatch_mcm(tmp_path):

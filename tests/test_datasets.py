@@ -31,6 +31,7 @@ def cfg_for(task, n_classes, model="tabgnn"):
     ("musae", MusaeGitHub, 2),
     ("lastfm", LastFMAsia, 4),
 ])
+@pytest.mark.slow
 def test_node_families_train(tmp_path, family, cls, n_classes):
     root = write_synthetic_node_dataset(str(tmp_path / family),
                                         family=family, n_classes=n_classes)
@@ -45,6 +46,7 @@ def test_node_families_train(tmp_path, family, cls, n_classes):
     assert 0.0 <= best <= 1.0
 
 
+@pytest.mark.slow
 def test_elliptic_masks_unknown_class(tmp_path):
     root = write_synthetic_node_dataset(str(tmp_path / "ell"),
                                         family="elliptic")
@@ -59,6 +61,7 @@ def test_elliptic_masks_unknown_class(tmp_path):
     assert np.isfinite(hist[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_eth_phishing_node_and_mcm(tmp_path):
     root = write_synthetic_node_dataset(str(tmp_path / "eth"), family="eth")
     ds = EthereumPhishing(
@@ -76,6 +79,7 @@ def test_eth_phishing_node_and_mcm(tmp_path):
     assert np.isfinite(hist[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_rel_hm_pretrain(tmp_path):
     csv = write_synthetic_hm_csv(str(tmp_path / "hm.csv"))
     ds = RelHM(root=csv, pretrain={PretrainType.MASK,

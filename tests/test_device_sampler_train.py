@@ -8,6 +8,8 @@ from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
 from rmm_tpu.train.trainer import Trainer
 from rmm_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 @pytest.fixture(scope="module")
 def small_ds(tmp_path_factory):

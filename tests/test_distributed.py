@@ -14,6 +14,8 @@ from rmm_tpu.parallel.distributed import (
     shard_stream,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 def test_maybe_init_noop_without_env(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
@@ -77,6 +79,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from rmm_tpu.parallel.distributed import (
     global_batch_slice, maybe_init_distributed)
+
 assert maybe_init_distributed() is True
 assert jax.process_count() == 2
 assert jax.device_count() == 2, jax.device_count()

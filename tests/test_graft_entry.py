@@ -1,6 +1,9 @@
 """Keep the driver entry points healthy (CPU, 8-device virtual mesh)."""
+import pytest
 import jax
 import numpy as np
+
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
 
 
 def test_entry_forward_jits():

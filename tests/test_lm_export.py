@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 @pytest.fixture(scope="module")
 def tiny_hf_checkpoint(tmp_path_factory):

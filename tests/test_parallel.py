@@ -15,6 +15,8 @@ from rmm_tpu.parallel import (
 from rmm_tpu.train.trainer import Trainer
 from rmm_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -38,6 +38,7 @@ def make_cfg(csv, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_bf16_master_params_stay_f32(prepared_csv, sup_ds):
     import jax
 
@@ -50,6 +51,7 @@ def test_bf16_master_params_stay_f32(prepared_csv, sup_ds):
             assert np.asarray(leaf).dtype == np.float32
 
 
+@pytest.mark.slow
 def test_bf16_convergence_parity(prepared_csv, sup_ds):
     """bf16 training reaches comparable quality to f32 on the planted
     fraud signal (the signal is strong; both should find it)."""
@@ -63,6 +65,7 @@ def test_bf16_convergence_parity(prepared_csv, sup_ds):
     assert bf16_f1 >= f32_f1 - 0.15, (bf16_f1, f32_f1)
 
 
+@pytest.mark.slow
 def test_bf16_pretrain_step(prepared_csv):
     from rmm_tpu.train.pretrain import PretrainTrainer
 

@@ -10,6 +10,8 @@ from rmm_tpu.train.pretrain import PretrainTrainer
 from rmm_tpu.train.tabular import TabularMCMTrainer
 from rmm_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 @pytest.fixture(scope="module")
 def prepared_csv(tmp_path_factory):

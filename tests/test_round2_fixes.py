@@ -102,6 +102,7 @@ def test_pretrain_batches_fresh_per_epoch(setup):
 # truncation accounting + capacity auto-calibration (VERDICT r1 weak #3)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_auto_capacity_calibration(setup):
     cfg, _ = setup
     ds = IBMTransactionsAML(root=cfg.data, khop_neighbors=(4, 4),

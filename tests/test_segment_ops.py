@@ -1,6 +1,7 @@
 """Golden-value tests for masked segment ops vs NumPy reference."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmm_tpu.ops import (
     pna_aggregate,
@@ -135,6 +136,7 @@ def test_sort_scatter_equivalence():
             np.testing.assert_allclose(a, b, atol=2e-4, err_msg=which)
 
 
+@pytest.mark.slow
 def test_sort_scatter_grad_equivalence():
     """Gradients through both backends match (the train step
     differentiates through pna_aggregate)."""

@@ -94,6 +94,7 @@ def test_amazon_fashion_materializes(reviews_csv, text_stype):
     assert tf.y is not None
 
 
+@pytest.mark.slow
 def test_downstream_frozen_and_finetune_learn(reviews_csv):
     cfg = Config(model="fttransformer", data=reviews_csv, batch_size=64,
                  epochs=3, n_hidden=32, n_gnn_layers=1, lr=2e-3,
@@ -109,6 +110,7 @@ def test_downstream_frozen_and_finetune_learn(reviews_csv):
         assert best < 2.0  # ratings are 1..5; signal is learnable
 
 
+@pytest.mark.slow
 def test_finetune_llm_cli(reviews_csv, tmp_path):
     from rmm_tpu.cli.finetune_llm import finetune_llm
 
@@ -152,6 +154,7 @@ def test_pretrained_lm_cache_gated_error():
         load_cached_lm("definitely/not-a-cached-model")
 
 
+@pytest.mark.slow
 def test_pretrained_lm_lora_finetune_path(tiny_hf_checkpoint):
     """TRUE in-LM LoRA: A/B factors injected into the LM's attention
     query/value kernels (peft target modules,
@@ -191,6 +194,7 @@ def test_pretrained_lm_lora_finetune_path(tiny_hf_checkpoint):
             assert float(np.abs(v).sum()) > 0, k
 
 
+@pytest.mark.slow
 def test_downstream_trainer_with_pretrained_lm(tiny_hf_checkpoint,
                                                tmp_path):
     """End-to-end: AmazonFashion text_tokenized with the HF tokenizer +

@@ -8,6 +8,8 @@ from rmm_tpu.datasets.base import PretrainType
 from rmm_tpu.train.trainer import Trainer
 from rmm_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e (default suite skips; run with -m "" )
+
 
 @pytest.fixture(scope="module")
 def synth_csv(tmp_path_factory):
