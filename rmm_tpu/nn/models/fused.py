@@ -125,13 +125,19 @@ class _FusedLayerScanBody(nn.Module):
     def __call__(self, carry, edge_index, target_edge_index, edge_mask,
                  node_mask):
         x_tab, x_gnn, edge_attr = carry
-        x_tab, x_gnn, edge_attr = FTTransformerPNAFusedLayer(
+        out = FTTransformerPNAFusedLayer(
             self.channels, self.nhidden, self.avg_log_deg, self.reverse_mp,
             self.nhead, self.dropout, self.feedforward_channels,
             name="layer")(
             x_tab, x_gnn, edge_index, edge_attr, target_edge_index,
             self.lp, edge_mask, node_mask, self.train)
-        return (x_tab, x_gnn, edge_attr), None
+        # scan requires stable carry dtypes: f32 params promote bf16
+        # activations inside the layer, so cast back. (The unrolled path
+        # silently promotes to f32 after layer 1; under precision=bf16 the
+        # scanned stack keeps activations bf16 across ALL layers — the
+        # MXU-native behavior the flag asks for.)
+        out = tuple(o.astype(c.dtype) for o, c in zip(out, carry))
+        return out, None
 
 
 class TABGNNFused(nn.Module):

@@ -326,14 +326,20 @@ class PretrainTrainer:
             neg_edge_index=np.zeros((2, b * cfg.num_neg_samples), np.int32),
         )
 
-    def _step(self, params, batch_stats, opt_state, moco_state, batch, rng):
+    def _step(self, params, batch_stats, opt_state, moco_state, batch, rng,
+              edge_table):
+        # edge_table is an explicit jit ARGUMENT: closing over it would bake
+        # the whole feature table into the lowered program as dense MLIR
+        # constants (~25 bytes/float of StableHLO text) — at 131k rows that
+        # alone OOMs memory-bounded AOT compile services. The supervised
+        # Trainer passes its tables the same way (trainer.py:270).
         mode = self.mode
 
         if moco_state is not None:
             # per-task grads → MoCo combine (reference fused.py:295-302)
             def task_loss(p, name):
                 losses, aux, stats = self.pm.mode_losses(
-                    p, batch_stats, batch, self.edge_table, rng, True, mode)
+                    p, batch_stats, batch, edge_table, rng, True, mode)
                 return losses[name], (aux, stats)
 
             (l_lp, (aux, stats)), g_lp = jax.value_and_grad(
@@ -346,7 +352,7 @@ class PretrainTrainer:
         else:
             def loss_fn(p):
                 losses, aux, stats = self.pm.mode_losses(
-                    p, batch_stats, batch, self.edge_table, rng, True, mode)
+                    p, batch_stats, batch, edge_table, rng, True, mode)
                 return sum(losses.values()), (losses, aux, stats)
 
             (loss, (losses, aux, stats)), grads = jax.value_and_grad(
@@ -358,7 +364,7 @@ class PretrainTrainer:
         return params, stats, opt_state, moco_state, loss, small_aux
 
     def _multi_step(self, params, batch_stats, opt_state, moco_state,
-                    stacked, rngs, real):
+                    stacked, rngs, real, edge_table):
         """K pretrain steps per dispatch (lax.scan; see Trainer._multi_step).
         Padding steps' state updates are discarded via ``real`` flags."""
 
@@ -366,7 +372,7 @@ class PretrainTrainer:
             params, batch_stats, opt_state, moco_state = carry
             batch, rng, is_real = inp
             new = self._step(params, batch_stats, opt_state, moco_state,
-                             batch, rng)
+                             batch, rng, edge_table)
             n_params, n_stats, n_opt, n_moco, loss, aux = new
 
             def sel(a, b):
@@ -384,9 +390,9 @@ class PretrainTrainer:
                                               (stacked, rngs, real))
         return (*carry, losses, auxes)
 
-    def _eval(self, params, batch_stats, batch):
+    def _eval(self, params, batch_stats, batch, edge_table):
         losses, aux, _ = self.pm.mode_losses(
-            params, batch_stats, batch, self.edge_table,
+            params, batch_stats, batch, edge_table,
             jax.random.PRNGKey(0), False, self.mode)
         return losses, aux
 
@@ -443,7 +449,7 @@ class PretrainTrainer:
                 (self.params, self.batch_stats, self.opt_state,
                  self.moco_state, loss, aux) = self._train_step(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, batch, k)
+                    self.moco_state, batch, k, self.edge_table)
                 results.append((loss, aux, 1))
             else:
                 stacked = jax.tree_util.tree_map(
@@ -459,7 +465,7 @@ class PretrainTrainer:
                 (self.params, self.batch_stats, self.opt_state,
                  self.moco_state, losses, auxes) = self._scan_step(
                     self.params, self.batch_stats, self.opt_state,
-                    self.moco_state, stacked, rngs, real)
+                    self.moco_state, stacked, rngs, real, self.edge_table)
                 results.append((losses[:n_real], auxes, n_real))
             pending.clear()
             inflight.append(results[-1][0])
@@ -528,7 +534,7 @@ class PretrainTrainer:
             else:
                 gb_s = gb
             losses, aux = self._eval_step(self.params, self.batch_stats,
-                                          gb_s)
+                                          gb_s, self.edge_table)
             valid = int(np.asarray(gb.seed_mask).sum())
             if "lp" in self.mode:
                 pos = np.asarray(aux["pos_pred"])[:valid]

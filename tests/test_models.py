@@ -311,3 +311,21 @@ def test_fused_scan_layers_train_grads(graph_batch):
     # batch_stats carried through the scan keep the stacked leading axis
     for leaf in jax.tree_util.tree_leaves(mut["batch_stats"]["layers"]):
         assert leaf.shape[0] == 2
+
+
+def test_fused_scan_layers_bf16_carry(graph_batch):
+    """Under precision=bf16 the scan carry must keep stable dtypes: the
+    layer body promotes via f32 params, the body casts back (bf16
+    activations across ALL layers — the unrolled path promotes after
+    layer 1)."""
+    g = graph_batch
+    tei = g["ei"][:, :B]
+    m = TABGNNFused(channels=C, num_layers=2, node_dim=5, nhidden=H,
+                    avg_log_deg=1.1, scan_layers=True)
+    vs = m.init(g["key"], g["nf"], g["ei"], g["e_tok"], tei, g["e_tok"][:B])
+    args = [g["nf"].astype(jnp.bfloat16), g["ei"],
+            g["e_tok"].astype(jnp.bfloat16), tei,
+            g["e_tok"][:B].astype(jnp.bfloat16)]
+    xg, ea, tea = m.apply(vs, *args, False, g["emask"], g["nmask"])
+    for o in (xg, ea, tea):
+        assert np.all(np.isfinite(np.asarray(o, np.float32)))
