@@ -161,7 +161,8 @@ class GraphTableDataset:
     SURVEY §1 L2)."""
 
     def __init__(self, edges: EdgeTable, nodes: NodeTable,
-                 edge_capacity: int = 0, node_capacity: int = 0):
+                 edge_capacity: int = 0, node_capacity: int = 0,
+                 frontier_capacity: int = 0):
         """``edge_capacity``/``node_capacity`` <= 0 means auto-calibrate on
         first use (:meth:`calibrate_capacities`) — the reference keeps every
         sampled edge (``ibm_transactions_for_aml.py:102-112``), so parity
@@ -170,6 +171,7 @@ class GraphTableDataset:
         self.nodes = nodes
         self.edge_capacity = edge_capacity
         self.node_capacity = node_capacity
+        self.frontier_capacity = frontier_capacity
         edges.materialize()
         nodes.materialize()
 
@@ -187,7 +189,7 @@ class GraphTableDataset:
         rng = np.random.RandomState(0)
         B = max(int(batch_size), 1)
         cap_e = cap_n = 1 << 16
-        need_e = need_n = 1
+        need_e = need_n = need_f = 1
         for mode in ("train", "test"):
             for p in range(n_probe):
                 take = min(B, g.num_edges)
@@ -208,6 +210,8 @@ class GraphTableDataset:
                     break
                 need_e = max(need_e, sub.num_edges)
                 need_n = max(need_n, sub.num_nodes)
+                need_f = max(need_f, self._frontier_need(
+                    mode, np.unique(seeds[:, :2])))
 
         def rnd(x):
             # power-of-two above 1k: distinct datasets land on the SAME
@@ -220,7 +224,56 @@ class GraphTableDataset:
 
         self.edge_capacity = max(rnd(need_e), B)
         self.node_capacity = max(rnd(need_n), B)
+        # the frontier buffer never needs to exceed the node buffer
+        self.frontier_capacity = min(max(rnd(need_f), 256),
+                                     self.node_capacity)
         return self.edge_capacity, self.node_capacity
+
+    def _frontier_need(self, mode: str, seed_nodes: np.ndarray) -> int:
+        """Upper bound on the device sampler's DISTINCT inter-hop frontier
+        for one probe batch: per hop, the union of (up to fanout)
+        neighbors of the current frontier, minus already-seen nodes —
+        exactly `_expand_all`'s dedup semantics. Uses a host CSR over the
+        split's edges (built once per mode and cached)."""
+        s = self.graph.sampler(mode)
+        key = ("_fr_csr", mode)
+        cache = self.__dict__.setdefault("_frontier_csr", {})
+        if key not in cache:
+            def csr(k, o):
+                order = np.argsort(k, kind="stable")
+                indptr = np.zeros(self.graph.num_nodes + 1, np.int64)
+                np.add.at(indptr, np.asarray(k, np.int64) + 1, 1)
+                np.cumsum(indptr, out=indptr)
+                return indptr, np.asarray(o)[order]
+            views = [csr(s.dst, s.src)]
+            if s.undirected:
+                views.append(csr(s.src, s.dst))
+            cache[key] = views
+        views = cache[key]
+        fanouts = [int(f) for f in s.fanouts]
+        seen = np.unique(seed_nodes)
+        frontier = seen
+        need = 1
+        for fanout in fanouts[:-1]:
+            parts = []
+            draw_bound = 0
+            for indptr, nbr in views:
+                p0 = indptr[frontier]
+                deg = indptr[frontier + 1] - p0
+                draw_bound += int(np.minimum(deg, fanout).sum())
+                # random draws are a SUBSET of the full neighbor list, so
+                # the union of full lists bounds the distinct draw count;
+                # so does the total number of draws (sum of min(deg, f))
+                for start, d in zip(p0, deg):
+                    if d > 0:
+                        parts.append(nbr[start:start + d])
+            nxt = (np.unique(np.concatenate(parts))
+                   if parts else np.empty(0, np.int64))
+            nxt = np.setdiff1d(nxt, seen, assume_unique=True)
+            need = max(need, min(len(nxt), draw_bound))
+            seen = np.union1d(seen, nxt)
+            frontier = nxt
+        return need
 
     def _ensure_caps(self, batch_size: int):
         if self.edge_capacity <= 0 or self.node_capacity <= 0:

@@ -216,11 +216,20 @@ def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
 
 
 def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
-                node_capacity, sent_node, sent_edge):
+                node_capacity, sent_node, sent_edge,
+                frontier_capacity: Optional[int] = None):
     """Shared hop loop: returns (concatenated candidate edge ids,
     frontier-overflow count — distinct next-hop nodes that did not fit in
-    the node_capacity frontier buffer, folded into ``num_node_dropped`` by
-    the callers so capacity auto-calibration sees the coverage loss)."""
+    the frontier buffer, folded into ``num_node_dropped`` by the callers so
+    capacity auto-calibration sees the coverage loss).
+
+    ``frontier_capacity`` sizes the inter-hop frontier buffer (defaults to
+    ``node_capacity``). The dominant per-batch cost is
+    hop-2's [frontier, fanout] expansion: the DISTINCT hop-1 neighbor set
+    is typically ~10x smaller than the final node set, so a calibrated
+    frontier buffer (GraphTableDataset.calibrate_capacities) cuts the
+    expansion/gather/compaction work by the same factor."""
+    fcap = int(frontier_capacity) if frontier_capacity else int(node_capacity)
     views = [(dg.indptr, dg.nbr, dg.eid)]
     if dg.out_indptr is not None:
         views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
@@ -238,7 +247,7 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
         if h + 1 < len(fanouts):
             nxt = jnp.concatenate(nbr_parts)
             new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
-            frontier, distinct = _unique_count(new, node_capacity, sent_node)
+            frontier, distinct = _unique_count(new, fcap, sent_node)
             fmask = frontier != sent_node
             frontier_overflow = frontier_overflow + jnp.maximum(
                 distinct - fmask.sum(), 0)
@@ -324,6 +333,7 @@ def sample_nodes_device(
     fanouts: Sequence[int],
     edge_capacity: int,
     node_capacity: int,
+    frontier_capacity: Optional[int] = None,
 ):
     """In-jit node-seeded k-hop sampling.
 
@@ -341,7 +351,7 @@ def sample_nodes_device(
 
     cand, f_overflow = _expand_all(dg, seed_nodes, seed_mask, node_set, key,
                                    fanouts, node_capacity, sent_node,
-                                   sent_edge)
+                                   sent_edge, frontier_capacity)
 
     slack = 2 if dg.out_indptr is not None else 1
     cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
@@ -403,6 +413,7 @@ def sample_edges_device(
     fanouts: Sequence[int],
     edge_capacity: int,
     node_capacity: int,
+    frontier_capacity: Optional[int] = None,
 ):
     """In-jit edge-seeded k-hop sampling.
 
@@ -424,7 +435,7 @@ def sample_edges_device(
 
     cand, f_overflow = _expand_all(dg, frontier, fmask, node_set, key,
                                    fanouts, node_capacity, sent_node,
-                                   sent_edge)
+                                   sent_edge, frontier_capacity)
     # drop candidates that are seed edges (seed lanes already carry them)
     seed_sorted = jnp.sort(seed_eid)
     cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)

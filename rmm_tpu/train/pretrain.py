@@ -293,7 +293,8 @@ class PretrainTrainer:
         ks, kn = jax.random.split(jax.random.PRNGKey(sb.sampler_seed))
         out = sample_edges_device(
             dgraph, sb.seeds, sb.seed_mask, ks, cfg.num_neighs,
-            cfg.edge_capacity, cfg.node_capacity)
+            cfg.edge_capacity, cfg.node_capacity,
+            cfg.frontier_capacity or None)
         b = sb.seed_mask.shape[0]
         # node-capacity overflow can evict a seed edge's endpoint, zeroing
         # its edge lane — exclude such seeds from losses/negatives

@@ -86,16 +86,24 @@ def resolve_capacities(cfg: Config, dataset) -> Config:
     if cfg.edge_capacity > 0 and cfg.node_capacity > 0:
         dataset.edge_capacity = cfg.edge_capacity
         dataset.node_capacity = cfg.node_capacity
+        if cfg.frontier_capacity > 0:
+            dataset.frontier_capacity = cfg.frontier_capacity
         return cfg
     if dataset.edge_capacity <= 0 or dataset.node_capacity <= 0:
         ec, nc = dataset.calibrate_capacities(cfg.batch_size)
-        logger.info("auto-calibrated capacities: edge=%d node=%d", ec, nc)
+        logger.info("auto-calibrated capacities: edge=%d node=%d "
+                    "frontier=%d", ec, nc,
+                    getattr(dataset, "frontier_capacity", 0))
     if cfg.edge_capacity > 0:      # keep a partial explicit override
         dataset.edge_capacity = cfg.edge_capacity
     if cfg.node_capacity > 0:
         dataset.node_capacity = cfg.node_capacity
-    return cfg.replace(edge_capacity=dataset.edge_capacity,
-                       node_capacity=dataset.node_capacity)
+    if cfg.frontier_capacity > 0:
+        dataset.frontier_capacity = cfg.frontier_capacity
+    return cfg.replace(
+        edge_capacity=dataset.edge_capacity,
+        node_capacity=dataset.node_capacity,
+        frontier_capacity=getattr(dataset, "frontier_capacity", 0))
 
 
 class Trainer:
@@ -212,11 +220,13 @@ class Trainer:
                      else sb.seed_mask)
             out = sample_nodes_device(
                 dgraph, sb.seeds[:, 0], smask, key, cfg.num_neighs,
-                cfg.edge_capacity, cfg.node_capacity)
+                cfg.edge_capacity, cfg.node_capacity,
+                cfg.frontier_capacity or None)
         else:
             out = sample_edges_device(
                 dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
-                cfg.edge_capacity, cfg.node_capacity)
+                cfg.edge_capacity, cfg.node_capacity,
+                cfg.frontier_capacity or None)
         seed_mask = sb.seed_mask
         if "node" not in cfg.task:
             # node-capacity overflow can evict a seed edge's endpoint,

@@ -38,6 +38,12 @@ class Config:
     num_neighs: Sequence[int] = (100, 100)
     edge_capacity: int = 0            # 0 = auto-calibrate from probe batches
     node_capacity: int = 0
+    frontier_capacity: int = 0        # device sampler's inter-hop frontier
+                                      # buffer (0 = auto-calibrate; the
+                                      # distinct hop-1 neighbor set is ~10x
+                                      # smaller than node_capacity, and
+                                      # hop-2's [frontier, fanout] expansion
+                                      # dominates in-jit sampling cost)
     max_drop_rate: float = 0.0        # warn when epoch drop-rate exceeds this
 
     # optimization (AML supervised config of record, main.py:161-190)
@@ -136,6 +142,9 @@ def create_parser() -> argparse.ArgumentParser:
                    help="static subgraph edge buffer (0 = auto-calibrate)")
     p.add_argument("--node_capacity", default=0, type=int,
                    help="static subgraph node buffer (0 = auto-calibrate)")
+    p.add_argument("--frontier_capacity", default=0, type=int,
+                   help="device-sampler inter-hop frontier buffer "
+                        "(0 = auto-calibrate)")
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--dropout", default=None, type=float)
     p.add_argument("--dp", default=0, type=int,
@@ -169,6 +178,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         output_path=args.output_path, wandb_dir=args.wandb_dir,
         group=args.group, edge_capacity=args.edge_capacity,
         node_capacity=args.node_capacity,
+        frontier_capacity=getattr(args, "frontier_capacity", 0),
     )
     if args.lr is not None:
         cfg = cfg.replace(lr=args.lr)

@@ -231,3 +231,47 @@ def test_capacity_truncation_counted():
     total_kept = int(np.asarray(loose["edge_mask"]).sum())
     kept = int(np.asarray(out["edge_mask"]).sum())
     assert int(out["num_dropped"]) == total_kept - kept > 0
+
+
+def test_frontier_capacity_parity_and_accounting():
+    """A frontier buffer >= the true distinct hop-1 frontier reproduces the
+    uncapped sampler exactly; an undersized one truncates coverage but
+    counts it in num_node_dropped (never silent)."""
+    rng = np.random.RandomState(3)
+    src, dst, n = random_graph(rng)
+    fanouts = (512, 512)
+    _, dev = make_pair(src, dst, n, fanouts)
+    seeds = seed_batch(rng, src, dst, b=8)
+    E_cap, N_cap = 512, 128
+
+    def run(fcap):
+        return jax.jit(
+            lambda s, m, k: sample_edges_device(
+                dev, s, m, k, fanouts, E_cap, N_cap, fcap)
+        )(seeds, np.ones(8, bool), jax.random.PRNGKey(0))
+
+    base = run(None)
+    # true hop-1 frontier is bounded by the distinct in-neighbors of the
+    # 16 seed endpoints — N_cap lanes certainly cover it
+    ample = run(N_cap)
+    for k in ("edge_gather", "edge_mask", "edge_index", "node_gather",
+              "node_mask"):
+        np.testing.assert_array_equal(np.asarray(base[k]),
+                                      np.asarray(ample[k]), err_msg=k)
+    assert int(ample["num_node_dropped"]) == int(base["num_node_dropped"])
+
+    tiny = run(4)   # frontier of 4 lanes cannot hold the hop-1 neighbors
+    assert int(tiny["num_node_dropped"]) > 0
+    # truncation loses edges vs the ample run
+    kept_t = int(np.asarray(tiny["edge_mask"]).sum())
+    kept_a = int(np.asarray(ample["edge_mask"]).sum())
+    assert kept_t < kept_a
+
+
+def test_calibration_sets_frontier_capacity(aml_csv):
+    from rmm_tpu.datasets import IBMTransactionsAML
+
+    ds = IBMTransactionsAML(root=aml_csv, khop_neighbors=(8, 8), channels=8)
+    ec, nc = ds.calibrate_capacities(batch_size=16)
+    assert ds.frontier_capacity >= 256
+    assert ds.frontier_capacity <= nc
