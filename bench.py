@@ -304,7 +304,8 @@ def measure_ssl_train(rows: int = ROWS):
     cfg = Config(model="tabgnnfused", data=csv, batch_size=200,
                  n_hidden=128, n_gnn_layers=3, dropout=0.5,
                  num_neighs=(100, 100), num_neg_samples=64, lr=2e-4,
-                 epochs=1, testing=True, precision="bf16")
+                 epochs=1, testing=True, precision="bf16",
+                 scan_layers=True)
     ds = IBMTransactionsAML(
         root=csv, pretrain={PretrainType.MASK, PretrainType.LINK_PRED},
         khop_neighbors=cfg.num_neighs, channels=cfg.n_hidden)
@@ -315,7 +316,7 @@ def measure_ssl_train(rows: int = ROWS):
 
     def dispatch1():
         return tr._train_step(tr.params, tr.batch_stats, tr.opt_state,
-                              tr.moco_state, gb, rng)
+                              tr.moco_state, gb, rng, tr.edge_table)
 
     jax.device_get(dispatch1()[4])   # compile + run
     reps = 10
@@ -330,7 +331,7 @@ def measure_ssl_train(rows: int = ROWS):
     try:
         cost = tr._train_step.lower(
             tr.params, tr.batch_stats, tr.opt_state, tr.moco_state, gb,
-            rng).compile().cost_analysis()
+            rng, tr.edge_table).compile().cost_analysis()
         if cost and "flops" in cost:
             mfu = float(cost["flops"]) / step_time / PEAK_FLOPS
     except Exception:

@@ -379,11 +379,19 @@ def sample_nodes_device(
          jnp.where(rest_mask, rest, 0)]).astype(jnp.int32)
     node_mask = jnp.concatenate([seed_mask, rest_mask])
 
+    # seed relabel via one sorted view instead of an [E_cap, B] equality
+    # matrix (26M bool lanes at the config of record): stable argsort puts
+    # the FIRST occurrence of a duplicated seed first among equals, so
+    # searchsorted-leftmost + order[] reproduces argmax-of-eq semantics
+    seed_order = jnp.argsort(seeds_m).astype(jnp.int32)    # stable
+    seeds_sorted = seeds_m[seed_order]
+
     def relabel(g):
         # seed lanes win (first occurrence); else offset into sorted rest
-        eq = g[:, None] == seeds_m[None, :]          # [E_cap, B]
-        in_seed = eq.any(axis=1)
-        seed_pos = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        q = jnp.clip(jnp.searchsorted(seeds_sorted, g), 0,
+                     B - 1).astype(jnp.int32)
+        in_seed = seeds_sorted[q] == g
+        seed_pos = seed_order[q]
         p = jnp.clip(jnp.searchsorted(rest, g), 0, R_n - 1).astype(jnp.int32)
         in_rest = rest[p] == g
         local = jnp.where(in_seed, seed_pos, B + p)

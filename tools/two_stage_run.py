@@ -18,12 +18,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # CPU is fine for this (quality evidence, not a throughput claim); keep it
-# runnable anywhere by not insisting on the TPU tunnel.
+# runnable anywhere by not insisting on the TPU tunnel. The axon .pth hook
+# imports jax at interpreter startup and pins jax_platforms=axon, so the
+# env var alone is too late — update the live config (see tests/conftest).
 if os.environ.get("RMM_TWO_STAGE_CPU", "1") == "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     sys.path = [p for p in sys.path if "axon_site" not in p]
+    for _v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+               "AXON_LOOPBACK_RELAY"):
+        os.environ.pop(_v, None)
 
 import jax  # noqa: E402
+
+if os.environ.get("RMM_TWO_STAGE_CPU", "1") == "1":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 
 def main():
