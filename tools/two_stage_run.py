@@ -55,16 +55,22 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     csv = os.path.join(args.out, "data.csv")
-    write_synthetic_aml_csv(csv, num_rows=args.rows,
-                            num_accounts=args.accounts, seed=7)
+    # normalized floats (log1p + min-max), as the reference's prep script
+    # does (data/prepare_AML_transactions.py:47-53) — raw log-normal
+    # amounts make the MCM numerical head chase unbounded targets
+    from rmm_tpu.datasets.prepare_aml import prepare_aml_transactions
+    from rmm_tpu.datasets.synthetic import synthetic_aml_frame
+
+    df = prepare_aml_transactions(synthetic_aml_frame(
+        num_rows=args.rows, num_accounts=args.accounts, seed=7))
+    df.to_csv(csv, index=False)
 
     base = dict(data=csv, batch_size=128, n_hidden=32, n_gnn_layers=2,
-                num_neighs=(20, 20), lr=2e-4, testing=True,
-                num_neg_samples=16)
+                num_neighs=(20, 20), testing=True, num_neg_samples=16)
 
     # ---- stage 1: SSL pretrain (mcm-lp), per-epoch + best-metric ckpts
     pcfg = Config(model="tabgnnfused", epochs=args.pretrain_epochs,
-                  dropout=0.5, **base)
+                  dropout=0.5, lr=2e-4, **base)
     pds = IBMTransactionsAML(
         root=csv, pretrain={PretrainType.MASK, PretrainType.LINK_PRED},
         khop_neighbors=pcfg.num_neighs, channels=pcfg.n_hidden)
