@@ -59,6 +59,17 @@ def build_parser():
                    help="0 = auto-calibrate")
     p.add_argument("--wandb_dir", default="wandb/", type=str)
     p.add_argument("--precision", default="f32", choices=("f32", "bf16"))
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over the fused layer stack (smaller "
+                        "compiled program; stacked param layout)")
+    p.add_argument("--dp", default=0, type=int,
+                   help="data-parallel over N devices (0 = single chip)")
+    p.add_argument("--frontier_capacity", default=0, type=int,
+                   help="device-sampler inter-hop frontier buffer "
+                        "(0 = auto-calibrate)")
+    p.add_argument("--sampler", default="auto",
+                   choices=("auto", "host", "device"),
+                   help="where k-hop sampling runs (device = in-jit)")
     return p
 
 
@@ -80,7 +91,8 @@ def main(argv=None):
         ports=args.ports, edge_capacity=args.edge_capacity,
         node_capacity=args.node_capacity, moo=args.moo,
         testing=args.testing, wandb_dir=args.wandb_dir,
-        precision=args.precision,
+        precision=args.precision, scan_layers=args.scan_layers,
+        frontier_capacity=args.frontier_capacity, sampler=args.sampler,
     )
     logging.info(cfg.to_json())
     pretrain = {PretrainType.LINK_PRED}
@@ -104,7 +116,15 @@ def main(argv=None):
             ports=cfg.ports, ego=cfg.ego, channels=cfg.n_hidden,
             edge_capacity=cfg.edge_capacity,
             node_capacity=cfg.node_capacity)
-    trainer = PretrainTrainer(cfg, dataset, mode=args.mode)
+    if args.dp:
+        from ..utils.jaxenv import ensure_devices
+        from ..train.dp_trainer import DataParallelPretrainTrainer
+
+        ensure_devices(args.dp)
+        trainer = DataParallelPretrainTrainer(cfg, dataset, mode=args.mode,
+                                              n_devices=args.dp)
+    else:
+        trainer = PretrainTrainer(cfg, dataset, mode=args.mode)
 
     start_epoch, best = 0, None
     if args.checkpoint:

@@ -29,6 +29,7 @@ from ..parallel import (
 )
 from ..utils.config import Config
 from ..utils.metric import f1_score, roc_auc
+from .pretrain import PretrainTrainer
 from .trainer import Trainer
 
 
@@ -177,3 +178,72 @@ class DataParallelTrainer(Trainer):
             out["auc"] = roc_auc(np.concatenate(labels),
                                  np.concatenate(scores))
         return out
+
+
+class DataParallelPretrainTrainer(PretrainTrainer):
+    """Data-parallel joint SSL pretraining (``--dp`` on ``cli/fused.py``):
+    D host-sampled subgraph batches per dispatch, each chip running BOTH
+    model views (LP + MCM) on its own batch, grads/losses/batch-stats
+    real-weighted ``psum``s over ICI (:func:`make_dp_pretrain_step`).
+    Checkpointing, best-metric export and resume are inherited from
+    :class:`PretrainTrainer.fit`; evaluation runs single-chip (the eval
+    MRR pass is a forward only and is not the bottleneck).
+
+    MoCo multi-objective weighting carries cross-step state through the
+    optimizer loop and is currently single-chip only (``--moo moco``
+    with ``--dp`` is rejected)."""
+
+    def __init__(self, cfg: Config, dataset, mode: str = "mcm-lp",
+                 n_devices: Optional[int] = None):
+        if cfg.moo == "moco":
+            raise ValueError("--moo moco is single-chip only (use the "
+                             "default sum weighting with --dp)")
+        super().__init__(cfg, dataset, mode=mode)
+        from ..parallel import make_dp_pretrain_step
+
+        self.mesh = make_mesh(n_devices)
+        self.n_chips = int(self.mesh.devices.size)
+        self._dp_pre_step = make_dp_pretrain_step(self.pm, self.tx,
+                                                  self.mesh, mode)
+
+    def train_epoch(self, view, epoch: int) -> dict:
+        t0 = time.time()
+        D = self.n_chips
+        losses = []
+        dropped = kept = 0
+        pending = []
+        window = max(int(getattr(self.cfg, "inflight_groups", 2)), 1)
+        inflight = []
+
+        def flush():
+            if not pending:
+                return
+            n_real = len(pending)
+            real = np.arange(D) < n_real
+            while len(pending) < D:
+                pending.append(_zero_mask_copy(pending[-1]))
+            stacked = shard_batch(self.mesh, stack_batches(pending))
+            self.rng, k = jax.random.split(self.rng)
+            rngs = jax.random.split(k, D)
+            (self.params, self.batch_stats, self.opt_state,
+             loss) = self._dp_pre_step(
+                self.params, self.batch_stats, self.opt_state, stacked,
+                rngs, real, self.edge_table)
+            losses.append(loss)
+            pending.clear()
+            inflight.append(loss)
+            if len(inflight) > window:
+                jax.device_get(inflight.pop(0))
+
+        for gb in Prefetcher(self._batches(view, "train", epoch),
+                             depth=2 * D, device_put=False):
+            dropped += gb.num_dropped
+            kept += int(gb.edge_mask.sum())
+            pending.append(gb)
+            if len(pending) == D:
+                flush()
+        flush()
+
+        return {"loss": float(np.mean([float(l) for l in losses])),
+                "sec": time.time() - t0, "chips": self.n_chips,
+                "drop_rate": dropped / max(dropped + kept, 1)}

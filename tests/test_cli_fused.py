@@ -43,3 +43,38 @@ def test_fused_cli_ibm_dispatch_smoke(tmp_path):
     ])
     assert len(history) == 1
     assert np.isfinite(history[0]["loss"])
+
+
+def test_fused_cli_dp_pretrain(tmp_path):
+    """--dp N runs the SSL pretrain epoch data-parallel over the virtual
+    mesh (one subgraph batch per chip, psum'd grads), with scan_layers."""
+    csv = str(tmp_path / "aml.csv")
+    write_synthetic_aml_csv(csv, num_rows=600, num_accounts=80, seed=1)
+    from rmm_tpu.cli import fused
+
+    history, best = fused.main([
+        "--dataset", csv, "--mode", "mcm-lp", "--epochs", "1",
+        "--batch_size", "16", "--channels", "8", "--num_layers", "2",
+        "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
+        "--dp", "4", "--scan_layers",
+        "--testing", "--wandb_dir", str(tmp_path / "wandb"),
+    ])
+    assert len(history) == 1
+    assert history[0]["chips"] == 4
+    assert np.isfinite(history[0]["loss"])
+    assert np.isfinite(history[0].get("val_mrr", 0.0))
+
+
+def test_fused_cli_dp_rejects_moco(tmp_path):
+    csv = str(tmp_path / "aml.csv")
+    write_synthetic_aml_csv(csv, num_rows=300, num_accounts=50, seed=2)
+    from rmm_tpu.cli import fused
+
+    with pytest.raises(ValueError, match="single-chip"):
+        fused.main([
+            "--dataset", csv, "--mode", "mcm-lp", "--epochs", "1",
+            "--batch_size", "16", "--channels", "8", "--num_layers", "1",
+            "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
+            "--dp", "4", "--moo", "moco", "--testing",
+            "--wandb_dir", str(tmp_path / "wandb"),
+        ])
