@@ -46,6 +46,25 @@ def _merge_loose(template: Any, loaded: Any) -> Any:
     return loaded if t.shape == l.shape else template
 
 
+def _convert_scan_layout(state: dict, tstate: dict) -> dict:
+    """Bridge the fused model's two param layouts (anywhere in the tree):
+    unrolled ``layer_0..layer_{N-1}`` ↔ scanned ``layers/layer`` (stacked
+    leading axis). A checkpoint saved from either layout loads into a
+    model built with the other — ``--scan_layers`` can change between
+    pretraining and resume/transfer."""
+    if not (isinstance(state, dict) and isinstance(tstate, dict)):
+        return state
+    from ..nn.models.fused import stack_fused_layers, unstack_fused_layers
+
+    if "layers" in tstate and "layer_0" in state:
+        n = len([k for k in state if k.startswith("layer_")])
+        state = stack_fused_layers(state, n)
+    elif "layer_0" in tstate and "layers" in state:
+        state = unstack_fused_layers(state)
+    return {k: (_convert_scan_layout(v, tstate[k]) if k in tstate else v)
+            for k, v in state.items()}
+
+
 def load_pytree(path: str, template: Any, strict: bool = True) -> Any:
     with open(path, "rb") as f:
         data = f.read()
@@ -55,7 +74,9 @@ def load_pytree(path: str, template: Any, strict: bool = True) -> Any:
         return serialization.from_bytes(template, data)
     except (ValueError, KeyError):
         state = serialization.msgpack_restore(data)
-        merged = _merge_loose(serialization.to_state_dict(template), state)
+        tstate = serialization.to_state_dict(template)
+        state = _convert_scan_layout(state, tstate)
+        merged = _merge_loose(tstate, state)
         return serialization.from_state_dict(template, merged)
 
 

@@ -329,3 +329,47 @@ def test_fused_scan_layers_bf16_carry(graph_batch):
     xg, ea, tea = m.apply(vs, *args, False, g["emask"], g["nmask"])
     for o in (xg, ea, tea):
         assert np.all(np.isfinite(np.asarray(o, np.float32)))
+
+
+def test_checkpoint_bridges_scan_layouts(graph_batch, tmp_path):
+    """A checkpoint saved from an unrolled TABGNNFused loads into a
+    scanned one (and back): --scan_layers may change between pretraining
+    and resume/transfer."""
+    from rmm_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    g = graph_batch
+    tei = g["ei"][:, :B]
+    kw = dict(channels=C, num_layers=2, node_dim=5, nhidden=H,
+              avg_log_deg=1.1)
+    m_u = TABGNNFused(**kw)
+    m_s = TABGNNFused(scan_layers=True, **kw)
+    vs_u = m_u.init(g["key"], g["nf"], g["ei"], g["e_tok"], tei,
+                    g["e_tok"][:B])
+    vs_s = m_s.init(jax.random.PRNGKey(9), g["nf"], g["ei"], g["e_tok"],
+                    tei, g["e_tok"][:B])
+
+    p = str(tmp_path / "model_u")
+    save_pytree(p, vs_u["params"])
+    loaded = load_pytree(p, vs_s["params"], strict=False)
+    out_u = m_u.apply({"params": vs_u["params"],
+                       "batch_stats": vs_u["batch_stats"]},
+                      g["nf"], g["ei"], g["e_tok"], tei, g["e_tok"][:B],
+                      False, g["emask"], g["nmask"])
+    from rmm_tpu.nn.models import stack_fused_layers
+    out_s = m_s.apply({"params": loaded,
+                       "batch_stats": stack_fused_layers(
+                           vs_u["batch_stats"], 2)},
+                      g["nf"], g["ei"], g["e_tok"], tei, g["e_tok"][:B],
+                      False, g["emask"], g["nmask"])
+    for a, b in zip(out_u, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # reverse: scanned checkpoint into an unrolled template
+    p2 = str(tmp_path / "model_s")
+    save_pytree(p2, vs_s["params"])
+    back = load_pytree(p2, vs_u["params"], strict=False)
+    first = jax.tree_util.tree_leaves(back["layer_0"])[0]
+    want = jax.tree_util.tree_leaves(
+        vs_s["params"]["layers"]["layer"])[0][0]
+    np.testing.assert_array_equal(np.asarray(first), np.asarray(want))
