@@ -139,7 +139,8 @@ def run_pretrain_benchmark(cfg, mode: str = "mcm-lp", iters: int = 100):
     # warmup/compile
     gb = next(it)
     out = trainer._train_step(trainer.params, trainer.batch_stats,
-                              trainer.opt_state, trainer.moco_state, gb, rng)
+                              trainer.opt_state, trainer.moco_state, gb, rng,
+                              trainer.edge_table)
     jax.block_until_ready(out[4])
     done = 0
     while done < iters:
@@ -152,7 +153,8 @@ def run_pretrain_benchmark(cfg, mode: str = "mcm-lp", iters: int = 100):
         phases["pre-processing"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         out = trainer._train_step(out[0], out[1], out[2], out[3], gb,
-                                  jax.random.fold_in(rng, done))
+                                  jax.random.fold_in(rng, done),
+                                  trainer.edge_table)
         jax.block_until_ready(out[4])
         phases["train-step"].append(time.perf_counter() - t0)
         done += 1
