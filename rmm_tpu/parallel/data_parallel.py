@@ -147,7 +147,7 @@ def make_dp_device_train_step(model, tx, loss_from_pred: Callable,
     ``materialize(sb, dgraph) → (GraphBatch, num_dropped, num_kept)`` is
     the trainer's ``_materialize_dev``. Signature: (variables, opt_state,
     stacked_seed_batch, rngs[D], real[D], edge_table, node_table, dgraph)
-    → (variables, opt_state, loss, dropped[D])."""
+    → (variables, opt_state, loss, dropped[D], kept[D])."""
 
     def per_chip(variables, opt_state, sb, rng, real, edge_table,
                  node_table, dgraph):
@@ -156,7 +156,7 @@ def make_dp_device_train_step(model, tx, loss_from_pred: Callable,
         rng = rng[0]
         w = real[0].astype(jnp.float32)
         denom = jax.lax.psum(w, axis)
-        batch, n_drop, _kept = materialize(sb, dgraph)
+        batch, n_drop, kept = materialize(sb, dgraph)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -179,12 +179,12 @@ def make_dp_device_train_step(model, tx, loss_from_pred: Callable,
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, variables["params"], updates)
         return ({"params": params, **mutated}, opt_state, loss,
-                n_drop[None])
+                n_drop[None], kept[None])
 
     sharded = _shmap(
         per_chip, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(axis)))
+        out_specs=(P(), P(), P(), P(axis), P(axis)))
     return jax.jit(sharded)
 
 

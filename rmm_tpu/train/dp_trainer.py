@@ -49,6 +49,16 @@ class DataParallelTrainer(Trainer):
                                            self._loss_from_pred, self.mesh)
         self._dp_eval = make_dp_eval_step(self.model, self._loss_from_pred,
                                           self.mesh)
+        if self._use_device_sampler():
+            from ..parallel import make_dp_device_train_step
+
+            # --dp --sampler device: each chip ships only its SeedBatch;
+            # the k-hop subgraph materializes on-device inside the SPMD
+            # program — per-chip sampling scales with the mesh and the
+            # host stays out of the hot loop entirely
+            self._dp_dev_step = make_dp_device_train_step(
+                self.model, self.tx, self._loss_from_pred,
+                self._materialize_dev, self.mesh)
 
     def _pad_group(self, pending):
         """Pad a ragged group to D with zero-masked repeats; returns the
@@ -59,7 +69,58 @@ class DataParallelTrainer(Trainer):
             pending.append(_zero_mask_copy(pending[-1]))
         return real
 
+    def _train_epoch_device(self, view, epoch: int) -> dict:
+        """DP over in-jit device-sampled subgraphs (seeds-only host
+        traffic). No per-step aux comes back (losses + truncation
+        telemetry only); quality metrics come from evaluation."""
+        t0 = time.time()
+        D = self.n_chips
+        dgraph = self._dgraph("train")
+        losses = []
+        dropped = kept = 0
+        pending = []
+        window = max(int(getattr(self.cfg, "inflight_groups", 2)), 1)
+        inflight = []
+        drops = []
+
+        def flush():
+            nonlocal pending
+            if not pending:
+                return
+            n_real = len(pending)
+            real = np.arange(D) < n_real
+            while len(pending) < D:
+                pending.append(_zero_mask_copy(pending[-1]))
+            stacked = shard_batch(self.mesh, stack_batches(pending))
+            self.rng, k = jax.random.split(self.rng)
+            rngs = jax.random.split(k, D)
+            (self.variables, self.opt_state, loss, b_drop,
+             b_kept) = self._dp_dev_step(
+                self.variables, self.opt_state, stacked, rngs, real,
+                self.edge_table, self.node_table, dgraph)
+            losses.append(loss)
+            drops.append((b_drop[:n_real], b_kept[:n_real]))
+            pending = []
+            inflight.append(loss)
+            if len(inflight) > window:
+                jax.device_get(inflight.pop(0))
+
+        for sb in Prefetcher(self._seed_batches(view, "train", epoch),
+                             depth=2 * D, device_put=False):
+            pending.append(sb)
+            if len(pending) == D:
+                flush()
+        flush()
+        for b_drop, b_kept in drops:
+            dropped += int(np.asarray(b_drop).sum())
+            kept += int(np.asarray(b_kept).sum())
+        return {"loss": float(np.mean([float(l) for l in losses])),
+                "sec": time.time() - t0, "chips": self.n_chips,
+                "drop_rate": dropped / max(dropped + kept, 1)}
+
     def train_epoch(self, view, epoch: int) -> dict:
+        if self._use_device_sampler():
+            return self._train_epoch_device(view, epoch)
         cfg = self.cfg
         t0 = time.time()
         D = self.n_chips

@@ -190,3 +190,19 @@ def test_dp_eval_matches_single_chip(setup):
     m_sc = tr_sc.evaluate(va, "val")
     assert abs(m_dp["f1"] - m_sc["f1"]) < 1e-6
     assert abs(m_dp["auc"] - m_sc["auc"]) < 1e-6
+
+
+def test_data_parallel_trainer_device_sampler_fit(setup):
+    """--dp + --sampler device: the user-facing DP trainer runs the in-jit
+    device-sampling SPMD step (seeds-only host traffic), with truncation
+    telemetry aggregated across chips."""
+    from rmm_tpu.train.dp_trainer import DataParallelTrainer
+
+    cfg, ds = setup
+    cfg = cfg.replace(sampler="device")
+    tr = DataParallelTrainer(cfg, ds, n_devices=8)
+    hist, best = tr.fit()
+    assert hist[-1]["chips"] == 8
+    assert np.isfinite(hist[-1]["loss"])
+    assert 0.0 <= hist[-1]["drop_rate"] < 1.0
+    assert 0.0 <= best <= 1.0
