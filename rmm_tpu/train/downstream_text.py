@@ -72,11 +72,16 @@ class TextTabularRegressionTrainer:
         self._eval_step = jax.jit(self._fwd)
 
     def _fwd(self, params, tf, rng=None, train: bool = False):
+        from ..utils.precision import compute_cast, out_f32
+
+        # --precision bf16: bf16 compute, f32 master params / losses
+        params = compute_cast(params, self.cfg.precision)
+        tf = compute_cast(tf, self.cfg.precision)
         rngs = {"dropout": rng} if train else {}
         tokens, _ = self.encoder.apply(params["encoder"], tf, rngs=rngs)
         _, x_cls = self.model.apply(params["model"], tokens, not train,
                                     rngs=rngs)
-        return self.head.apply(params["head"], x_cls)[:, 0]
+        return out_f32(self.head.apply(params["head"], x_cls)[:, 0])
 
     def _step(self, params, opt_state, tf, mask, rng):
         def loss_fn(p):

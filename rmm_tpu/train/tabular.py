@@ -65,15 +65,22 @@ class TabularMCMTrainer:
         self._eval_step = jax.jit(self._fwd)
 
     def _fwd(self, params, tf, rng=None, train: bool = False):
+        from ..utils.precision import compute_cast
+
+        # --precision bf16: bf16 compute, f32 master params / losses
+        params = compute_cast(params, self.cfg.precision)
+        tf = compute_cast(tf, self.cfg.precision)
         tokens, _ = self.encoder.apply(params["encoder"], tf)
         rngs = {"dropout": rng} if train else {}
         _, x_cls = self.model.apply(params["model"], tokens, not train,
                                     rngs=rngs)
+        from ..utils.precision import out_f32
+
         if self.mask_vector:
             num_out, cat_out, mv_out = self.head.apply(params["head"], x_cls)
-            return num_out, cat_out, mv_out
+            return out_f32((num_out, cat_out, mv_out))
         num_out, cat_out = self.head.apply(params["head"], x_cls)
-        return num_out, cat_out, None
+        return out_f32((num_out, cat_out, None))
 
     def _step(self, params, opt_state, tf, seed_mask, rng):
         def loss_fn(p):

@@ -81,3 +81,29 @@ def test_bf16_pretrain_step(prepared_csv):
     tr = PretrainTrainer(cfg, ds, mode="mcm-lp")
     hist, _ = tr.fit()
     assert np.isfinite(hist[-1]["loss"])
+
+
+@pytest.mark.slow
+def test_bf16_tabular_and_text_steps(tmp_path):
+    """--precision bf16 now also covers the tabular-only MCM trainer and
+    the downstream text trainer (f32 losses, finite)."""
+    from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
+    from rmm_tpu.datasets.base import PretrainType
+    from rmm_tpu.train.tabular import TabularMCMTrainer
+    from rmm_tpu.utils.config import Config
+
+    csv = write_synthetic_aml_csv(str(tmp_path / "t.csv"), num_rows=300,
+                                  num_accounts=50, seed=0)
+    cfg = Config(model="fttransformer", data=csv, batch_size=32,
+                 n_hidden=16, n_gnn_layers=1, epochs=1, testing=True,
+                 precision="bf16", lr=1e-3)
+    ds = IBMTransactionsAML(root=csv, pretrain={PretrainType.MASK},
+                            channels=cfg.n_hidden)
+    tr = TabularMCMTrainer(cfg, ds.edges)
+    hist, _ = tr.fit()
+    assert np.isfinite(hist[-1]["loss"])
+    # master params stay f32
+    import jax
+    for leaf in jax.tree_util.tree_leaves(tr.params):
+        if hasattr(leaf, "dtype") and "float" in str(leaf.dtype):
+            assert leaf.dtype == np.float32
