@@ -92,46 +92,75 @@ def make_dp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
     return jax.jit(sharded)
 
 
-def make_dp_pretrain_step(pm, tx, mesh: Mesh, mode: str, axis: str = "data"):
+def make_dp_pretrain_step(pm, tx, mesh: Mesh, mode: str, axis: str = "data",
+                          moo: str = "sum"):
     """SPMD SSL pretrain step (fused.py's joint MCM+LP loop under DP).
 
     Each chip runs BOTH model views of ``PretrainModel.mode_losses`` (the
     LP pass over neighbor edges + the MCM pass over all edges,
     ``fused.py:277-288``) on its own subgraph batch; gradients, losses and
     batch-stats are real-weighted ``psum``s over ICI exactly as the
-    supervised DP step. Signature: (params, batch_stats, opt_state,
-    stacked_batch, rngs[D], real[D], edge_table) → (params, batch_stats,
-    opt_state, loss)."""
+    supervised DP step.
+
+    ``moo="moco"`` runs the MoCo multi-objective combine under DP: each
+    TASK's gradient is psum-averaged over real chips FIRST, then the
+    (replicated) MoCo state update and λ-weighted combine run identically
+    on every chip — bitwise-replicated state, single-chip-equivalent
+    semantics at D=1. Signature: (params, batch_stats, opt_state,
+    moco_state, stacked_batch, rngs[D], real[D], edge_table) →
+    (params, batch_stats, opt_state, moco_state, loss); pass
+    ``moco_state=None`` under ``moo="sum"``."""
     import optax
 
-    def per_chip(params, batch_stats, opt_state, batch, rng, real,
-                 edge_table):
+    from ..nn.weighting import moco_combine
+
+    def per_chip(params, batch_stats, opt_state, moco_state, batch, rng,
+                 real, edge_table):
         batch = jax.tree_util.tree_map(
             lambda x: x[0] if x is not None else None, batch)
         rng = rng[0]
         w = real[0].astype(jnp.float32)
         denom = jax.lax.psum(w, axis)
 
-        def loss_fn(p):
-            losses, _aux, stats = pm.mode_losses(
-                p, batch_stats, batch, edge_table, rng, True, mode)
-            return sum(losses.values()), stats
+        def pmean_w(tree):
+            return jax.tree_util.tree_map(
+                lambda t: jax.lax.psum(t * w, axis) / denom, tree)
 
-        (loss, stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g * w, axis) / denom, grads)
-        loss = jax.lax.psum(loss * w, axis) / denom
-        stats = jax.tree_util.tree_map(
-            lambda s: jax.lax.psum(s * w, axis) / denom, stats)
+        if moo == "moco":
+            def task_loss(p, name):
+                losses, _aux, stats = pm.mode_losses(
+                    p, batch_stats, batch, edge_table, rng, True, mode)
+                return losses[name], stats
+
+            (l_lp, stats), g_lp = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "lp")
+            (l_mcm, _), g_mcm = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "mcm")
+            g_lp, g_mcm = pmean_w(g_lp), pmean_w(g_mcm)
+            l_lp = jax.lax.psum(l_lp * w, axis) / denom
+            l_mcm = jax.lax.psum(l_mcm * w, axis) / denom
+            grads, moco_state, _lambd = moco_combine(
+                moco_state, [g_lp, g_mcm], [l_lp, l_mcm], params)
+            loss = l_lp + l_mcm
+        else:
+            def loss_fn(p):
+                losses, _aux, stats = pm.mode_losses(
+                    p, batch_stats, batch, edge_table, rng, True, mode)
+                return sum(losses.values()), stats
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = pmean_w(grads)
+            loss = jax.lax.psum(loss * w, axis) / denom
+        stats = pmean_w(stats)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, stats, opt_state, loss
+        return params, stats, opt_state, moco_state, loss
 
     sharded = _shmap(
         per_chip, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), P(), P()))
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(), P()))
     return jax.jit(sharded)
 
 

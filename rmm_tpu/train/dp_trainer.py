@@ -250,22 +250,20 @@ class DataParallelPretrainTrainer(PretrainTrainer):
     :class:`PretrainTrainer.fit`; evaluation runs single-chip (the eval
     MRR pass is a forward only and is not the bottleneck).
 
-    MoCo multi-objective weighting carries cross-step state through the
-    optimizer loop and is currently single-chip only (``--moo moco``
-    with ``--dp`` is rejected)."""
+    ``--moo moco`` composes with DP: per-task gradients are psum-averaged
+    over real chips before the (replicated) MoCo state update, so every
+    chip applies the identical λ-weighted combine."""
 
     def __init__(self, cfg: Config, dataset, mode: str = "mcm-lp",
                  n_devices: Optional[int] = None):
-        if cfg.moo == "moco":
-            raise ValueError("--moo moco is single-chip only (use the "
-                             "default sum weighting with --dp)")
         super().__init__(cfg, dataset, mode=mode)
         from ..parallel import make_dp_pretrain_step
 
         self.mesh = make_mesh(n_devices)
         self.n_chips = int(self.mesh.devices.size)
         self._dp_pre_step = make_dp_pretrain_step(self.pm, self.tx,
-                                                  self.mesh, mode)
+                                                  self.mesh, mode,
+                                                  moo=cfg.moo)
 
     def train_epoch(self, view, epoch: int) -> dict:
         t0 = time.time()
@@ -287,9 +285,9 @@ class DataParallelPretrainTrainer(PretrainTrainer):
             self.rng, k = jax.random.split(self.rng)
             rngs = jax.random.split(k, D)
             (self.params, self.batch_stats, self.opt_state,
-             loss) = self._dp_pre_step(
-                self.params, self.batch_stats, self.opt_state, stacked,
-                rngs, real, self.edge_table)
+             self.moco_state, loss) = self._dp_pre_step(
+                self.params, self.batch_stats, self.opt_state,
+                self.moco_state, stacked, rngs, real, self.edge_table)
             losses.append(loss)
             pending.clear()
             inflight.append(loss)

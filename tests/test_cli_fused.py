@@ -65,16 +65,19 @@ def test_fused_cli_dp_pretrain(tmp_path):
     assert np.isfinite(history[0].get("val_mrr", 0.0))
 
 
-def test_fused_cli_dp_rejects_moco(tmp_path):
+def test_fused_cli_dp_moco(tmp_path):
+    """--moo moco composes with --dp: per-task grads psum first, then the
+    replicated MoCo combine — state advances and the loss is finite."""
     csv = str(tmp_path / "aml.csv")
     write_synthetic_aml_csv(csv, num_rows=300, num_accounts=50, seed=2)
     from rmm_tpu.cli import fused
 
-    with pytest.raises(ValueError, match="single-chip"):
-        fused.main([
-            "--dataset", csv, "--mode", "mcm-lp", "--epochs", "1",
-            "--batch_size", "16", "--channels", "8", "--num_layers", "1",
-            "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
-            "--dp", "4", "--moo", "moco", "--testing",
-            "--wandb_dir", str(tmp_path / "wandb"),
-        ])
+    history, best = fused.main([
+        "--dataset", csv, "--mode", "mcm-lp", "--epochs", "1",
+        "--batch_size", "16", "--channels", "8", "--num_layers", "1",
+        "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
+        "--dp", "4", "--moo", "moco", "--testing",
+        "--wandb_dir", str(tmp_path / "wandb"),
+    ])
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
