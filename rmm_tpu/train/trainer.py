@@ -608,6 +608,51 @@ class Trainer:
                                  np.concatenate(scores))
         return out
 
+    def predict(self, view, mode: str = "test"):
+        """Batch inference over a view's seed rows (serving path).
+
+        Returns a dict of 1-D arrays aligned on real rows: ``id`` (edge-
+        table row id for edge tasks, node id for node tasks), ``pred``
+        (argmax class) and — for binary heads — ``score`` (P(class 1)).
+        ``mode`` picks the sampling graph ("test" = the full graph, the
+        production-inference setting; per-split samplers mirror
+        ``util/graph.py:31-53``). Rows excluded by a dataset's
+        ``ignore_label`` (e.g. elliptic's unknown class) are skipped, as
+        in evaluation."""
+        cfg = self.cfg
+        if "mcm" in cfg.task:
+            raise ValueError("predict() serves classification tasks; MCM "
+                             "is a pretraining objective")
+        node_task = "node" in cfg.task
+        ids, preds, scores = [], [], []
+        use_dev = self._use_device_sampler()
+        dgraph = self._dgraph(mode) if use_dev else None
+        src_iter = (self._seed_batches(view, mode) if use_dev
+                    else self._batches(view, mode))
+        for gb in src_iter:
+            if use_dev:
+                row = (np.asarray(gb.seeds)[:, 0] if node_task
+                       else np.asarray(gb.seeds)[:, 2])
+                gb, _, _ = self._sample_one(gb, dgraph)
+            elif node_task:
+                # seed nodes occupy node lanes [0, B) in input order
+                row = np.asarray(gb.node_gather)[:cfg.batch_size]
+            else:
+                # seed edges occupy edge lanes [0, B) in input order
+                row = np.asarray(gb.edge_gather)[:cfg.batch_size]
+            _, aux = self._eval_step(self.variables, gb, self.edge_table,
+                                     self.node_table)
+            m = np.asarray(gb.seed_mask)
+            ids.append(row[m])
+            preds.append(np.asarray(aux["pred_cls"])[m])
+            if "score" in aux:
+                scores.append(np.asarray(aux["score"])[m])
+        out = {"id": np.concatenate(ids).astype(np.int64),
+               "pred": np.concatenate(preds)}
+        if scores:
+            out["score"] = np.concatenate(scores)
+        return out
+
     # ------------------------------------------------------------------
     def fit(self, run_logger=None, run_dir: Optional[str] = None,
             start_epoch: int = 0, best_m=None):
