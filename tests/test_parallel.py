@@ -206,3 +206,16 @@ def test_data_parallel_trainer_device_sampler_fit(setup):
     assert np.isfinite(hist[-1]["loss"])
     assert 0.0 <= hist[-1]["drop_rate"] < 1.0
     assert 0.0 <= best <= 1.0
+
+
+def test_dp_with_scan_layers_fused(setup):
+    """scan_layers composes with the supervised DP step (stacked layer
+    params replicate over the mesh like any other params)."""
+    from rmm_tpu.train.dp_trainer import DataParallelTrainer
+
+    cfg, ds = setup
+    cfg = cfg.replace(model="tabgnnfused", scan_layers=True, epochs=1)
+    tr = DataParallelTrainer(cfg, ds, n_devices=8)
+    assert "layers" in tr.variables["params"]["model"]
+    hist, _ = tr.fit()
+    assert np.isfinite(hist[-1]["loss"])
