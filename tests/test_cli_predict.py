@@ -75,3 +75,23 @@ def test_predict_split_subset(tmp_path):
     ])
     n_test = len(ds.edges.split()[2].tensor_frame.y)
     assert len(out["id"]) == n_test
+
+
+def test_predict_device_sampler(tmp_path):
+    """predict() with --sampler device: ids come from the SeedBatch, every
+    real row scored once."""
+    csv_path = str(tmp_path / "aml.csv")
+    write_synthetic_aml_csv(csv_path, num_rows=300, num_accounts=50, seed=3)
+    cfg = Config(model="tabgnn", data=csv_path, task="edge_classification",
+                 batch_size=32, n_hidden=16, n_gnn_layers=1,
+                 num_neighs=(4, 4), edge_capacity=256, node_capacity=256,
+                 epochs=1, testing=True, lr=1e-3, sampler="device")
+    ds = IBMTransactionsAML(root=csv_path, khop_neighbors=cfg.num_neighs,
+                            channels=cfg.n_hidden,
+                            edge_capacity=cfg.edge_capacity,
+                            node_capacity=cfg.node_capacity)
+    tr = Trainer(cfg, ds)
+    out = tr.predict(ds.edges, mode="test")
+    assert len(out["id"]) == 300
+    assert len(np.unique(out["id"])) == 300
+    assert set(np.unique(out["pred"])) <= {0, 1}
