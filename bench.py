@@ -39,7 +39,7 @@ try:  # persistent compile cache (cold compiles cost minutes via the relay)
 except Exception:
     pass
 
-ROWS = 1 << 17          # synthetic AML table rows
+ROWS = int(os.environ.get("BENCH_ROWS", 1 << 17))  # synthetic AML rows
 FWD_BATCH = 8192
 FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
 FWD_LAYERS = 3
@@ -356,10 +356,24 @@ def main():
     ssl_rps = ssl_mfu = None
     try:
         ssl_rps, ssl_mfu = measure_ssl_train()
-        print(f"ssl (C=128, bf16) train rows/sec: {ssl_rps:,.0f} "
+        print(f"ssl (C=128, bf16, scan) train rows/sec: {ssl_rps:,.0f} "
               f"mfu: {ssl_mfu}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"ssl bench failed: {e}", file=sys.stderr)
+        # the C=128 step is the only path where the Pallas attention
+        # kernel compiles at head_dim>=16 — if Mosaic is the failure,
+        # retry once on the XLA attention path (env read at trace time;
+        # measure_ssl_train builds a fresh trainer)
+        try:
+            os.environ["RMM_DISABLE_PALLAS"] = "1"
+            ssl_rps, ssl_mfu = measure_ssl_train()
+            print(f"ssl (C=128, bf16, scan, NO-pallas) train rows/sec: "
+                  f"{ssl_rps:,.0f} mfu: {ssl_mfu}", file=sys.stderr)
+        except Exception as e2:
+            print(f"ssl bench failed (no-pallas retry): {e2}",
+                  file=sys.stderr)
+        finally:
+            os.environ.pop("RMM_DISABLE_PALLAS", None)
 
     cpu_rps = None
     try:

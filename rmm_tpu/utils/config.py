@@ -68,11 +68,13 @@ class Config:
     sampler: str = "auto"         # auto | host | device — where k-hop
                                   # sampling runs. "device" = in-jit on the
                                   # accelerator (HBM-resident CSR, host
-                                  # ships seed ids only). "auto" currently
-                                  # resolves to the overlapped host (C++)
-                                  # sampler, which still wins per-batch;
-                                  # device sampling is opt-in (see
-                                  # graph/device_sampler.use_device_sampler)
+                                  # ships seed ids only; composes with
+                                  # --dp). "auto" currently resolves to the
+                                  # overlapped host (C++) sampler; the
+                                  # round-3 frontier_capacity cut device
+                                  # sampling ~8x (RESULTS.md) but the flip
+                                  # to device-by-default awaits an on-chip
+                                  # A/B (see use_device_sampler)
 
     scan_layers: bool = False     # lax.scan over the fused GNN layer stack
                                   # (stacked params, ONE traced layer body)
