@@ -24,8 +24,11 @@ Documented deviations (static-shape redesign, not translation):
     deterministic for deg <= fanout, the common case);
   * duplicate edges are removed at the end of expansion rather than
     skipped at draw time, and capacity truncation keeps the smallest edge
-    ids rather than discovery order. Both only matter when capacities are
-    undersized — auto-calibration keeps drops ~= 0.
+    ids rather than discovery order; final-hop draws beyond the edge
+    budget are truncated in frontier order (rank-allocated expansion,
+    :func:`_expand_ranked`). All of it only matters when capacities are
+    undersized — auto-calibration keeps drops ~= 0, and every truncation
+    is counted.
 """
 from __future__ import annotations
 
@@ -109,10 +112,13 @@ class DeviceGraph:
 
 def use_device_sampler(cfg) -> bool:
     """Resolve the ``sampler`` config knob. "auto" currently resolves to
-    the host (C++) sampler: the in-jit sampler's dedup/compaction passes
-    still cost more per batch than the C++ engine, so it is opt-in
-    (``--sampler device``) until its per-batch cost beats the host path —
-    its value today is freeing the host CPU from the hot loop."""
+    the host (C++) sampler. Round 3 cut in-jit sampling ~16x (calibrated
+    frontier + rank-allocated expansion: 1018 -> 63 ms/batch on CPU at
+    the 5M-edge config, identical outputs — RESULTS.md); the remaining
+    gap to the C++ engine is ~4x of single-core host time, but the device
+    path spends ACCELERATOR time instead and frees the host entirely
+    (the multi-chip feeding story). The auto -> device default flip
+    awaits the on-chip A/B; until then it is opt-in (--sampler device)."""
     mode = getattr(cfg, "sampler", "auto")
     return mode == "device"
 
@@ -185,68 +191,100 @@ def _compact(x: jnp.ndarray, size: int, sentinel):
     return buf, jnp.maximum(total - size, 0)
 
 
-def _expand_hop(indptr, nbr_arr, eid_arr, frontier, fmask, fanout, key,
-                sent_node, sent_edge):
-    """Sample <= fanout in-edges for each frontier lane.
+def _expand_ranked(views, frontier, fmask, key, fanout: int, budget: int,
+                   sent_node, sent_edge):
+    """Rank-allocated hop expansion: exactly ``budget`` candidate lanes.
 
-    Returns (eids [F, f], nbrs [F, f]) with sentinels in invalid lanes.
-    Exact (all edges, deterministic) when deg <= fanout; uniform
-    with-replacement draws deduplicated per lane otherwise."""
+    Replaces the earlier rectangle expansion ([F, fanout] lanes per
+    view — ~90% invalid gather+compaction work at avg degree ≪ fanout). Here each frontier lane (per view) claims
+    ``min(deg, fanout)`` ranks via a cumsum; output lane j binary-searches
+    its owner and reads that owner's j-th edge (all edges when
+    deg ≤ fanout — deterministic, the exact-parity regime; uniform
+    with-replacement draws otherwise). Draws beyond ``budget`` are
+    truncated IN FRONTIER ORDER and counted (returned overflow feeds
+    ``num_dropped``).
+
+    Returns (eids [budget], nbrs [budget], overflow)."""
     F = frontier.shape[0]
     fr = jnp.where(fmask, frontier, 0)
-    p0 = indptr[fr]
-    deg = indptr[fr + 1] - p0                       # [F]
-    iota = jnp.arange(fanout, dtype=jnp.int32)[None, :]
-    u = jax.random.uniform(key, (F, fanout))
-    rand_pos = jnp.floor(u * deg[:, None].astype(u.dtype)).astype(jnp.int32)
-    rand_pos = jnp.clip(rand_pos, 0, jnp.maximum(deg[:, None] - 1, 0))
-    take_all = deg[:, None] <= fanout
-    pos = jnp.where(take_all, jnp.broadcast_to(iota, (F, fanout)), rand_pos)
-    valid = fmask[:, None] & jnp.where(take_all, iota < deg[:, None],
-                                       deg[:, None] > 0)
-    pos = jnp.where(valid, pos, INT_MAX)
-    pos = jnp.sort(pos, axis=1)                     # dup draws adjacent
-    dup = jnp.concatenate(
-        [jnp.zeros((F, 1), bool), pos[:, 1:] == pos[:, :-1]], axis=1)
-    valid = (pos != INT_MAX) & ~dup
-    gpos = jnp.clip(p0[:, None] + pos, 0, eid_arr.shape[0] - 1)
-    eids = jnp.where(valid, eid_arr[gpos], sent_edge)
-    nbrs = jnp.where(valid, nbr_arr[gpos], sent_node)
-    return eids, nbrs
+    deg_parts, p0_parts, nbr_arrs, eid_arrs = [], [], [], []
+    off = 0
+    for indptr, nbr_arr, eid_arr in views:
+        p0 = indptr[fr]
+        deg = jnp.where(fmask, indptr[fr + 1] - p0, 0)
+        deg_parts.append(deg)
+        p0_parts.append(p0 + off)
+        nbr_arrs.append(nbr_arr)
+        eid_arrs.append(eid_arr)
+        off += nbr_arr.shape[0]
+    deg_all = jnp.concatenate(deg_parts)            # [F * n_views]
+    p0_all = jnp.concatenate(p0_parts)
+    nbr_cat = jnp.concatenate(nbr_arrs)
+    eid_cat = jnp.concatenate(eid_arrs)
+    take = jnp.minimum(deg_all, fanout)
+    cum = _cumsum1d(take)                           # [F * n_views]
+    total = cum[-1]
+    j = jnp.arange(budget, dtype=cum.dtype)
+    owner = jnp.searchsorted(cum, j, side="right")
+    owner = jnp.clip(owner, 0, deg_all.shape[0] - 1).astype(jnp.int32)
+    start = cum[owner] - take[owner]
+    r = (j - start).astype(jnp.int32)
+    deg_o = deg_all[owner]
+    u = jax.random.uniform(key, (budget,))
+    rand_pos = jnp.floor(u * deg_o.astype(u.dtype)).astype(jnp.int32)
+    rand_pos = jnp.clip(rand_pos, 0, jnp.maximum(deg_o - 1, 0))
+    pos = jnp.where(deg_o <= fanout, r, rand_pos)
+    valid = (j < total) & (deg_o > 0)
+    gpos = jnp.clip(p0_all[owner] + pos, 0, eid_cat.shape[0] - 1)
+    eids = jnp.where(valid, eid_cat[gpos], sent_edge)
+    nbrs = jnp.where(valid, nbr_cat[gpos], sent_node)
+    return eids, nbrs, jnp.maximum(total - budget, 0).astype(jnp.int32)
 
 
 def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
                 node_capacity, sent_node, sent_edge,
-                frontier_capacity: Optional[int] = None):
-    """Shared hop loop: returns (concatenated candidate edge ids,
-    frontier-overflow count — distinct next-hop nodes that did not fit in
-    the frontier buffer, folded into ``num_node_dropped`` by the callers so
-    capacity auto-calibration sees the coverage loss).
+                frontier_capacity: Optional[int] = None,
+                edge_budget: int = 0):
+    """Shared hop loop (rank-allocated expansion per hop).
 
     ``frontier_capacity`` sizes the inter-hop frontier buffer (defaults to
     ``node_capacity``). The dominant per-batch cost is
-    hop-2's [frontier, fanout] expansion: the DISTINCT hop-1 neighbor set
+    hop-2's expansion over the frontier: the DISTINCT hop-1 neighbor set
     is typically ~10x smaller than the final node set, so a calibrated
     frontier buffer (GraphTableDataset.calibrate_capacities) cuts the
-    expansion/gather/compaction work by the same factor."""
+    expansion/gather/compaction work by the same factor; rank-allocated
+    expansion (:func:`_expand_ranked`) then emits exactly
+    ``edge_budget``-bounded candidate lanes instead of a mostly-invalid
+    [frontier, fanout] rectangle.
+
+    Returns (candidate edge ids, frontier-overflow count — distinct
+    next-hop nodes that did not fit the frontier buffer, folded into
+    ``num_node_dropped`` — and expansion-overflow count — candidate draws
+    beyond the per-hop budget, folded into ``num_dropped``)."""
     fcap = int(frontier_capacity) if frontier_capacity else int(node_capacity)
     views = [(dg.indptr, dg.nbr, dg.eid)]
     if dg.out_indptr is not None:
         views.append((dg.out_indptr, dg.out_nbr, dg.out_eid))
+    edge_budget = int(edge_budget)
     cand_eids = []
     frontier_overflow = jnp.int32(0)
+    expand_overflow = jnp.int32(0)
     for h, fanout in enumerate(fanouts):
-        nbr_parts = []
-        for indptr, nbr_arr, eid_arr in views:
-            key, kh = jax.random.split(key)
-            eids, nbrs = _expand_hop(indptr, nbr_arr, eid_arr, frontier,
-                                     fmask, int(fanout), kh, sent_node,
-                                     sent_edge)
-            cand_eids.append(eids.reshape(-1))
-            nbr_parts.append(nbrs.reshape(-1))
+        # non-final hops keep the FULL draw budget: their nbr vectors seed
+        # the next frontier, and truncating them would silently shrink
+        # downstream coverage beyond the counted overflow. Only the final
+        # hop — the expensive frontier×fanout one, whose neighbors nobody
+        # consumes — is capped at the edge budget.
+        full = frontier.shape[0] * len(views) * int(fanout)
+        budget = min(edge_budget, full) if h + 1 == len(fanouts) else full
+        key, kh = jax.random.split(key)
+        eids, nbrs, ovf = _expand_ranked(views, frontier, fmask, kh,
+                                         int(fanout), budget, sent_node,
+                                         sent_edge)
+        cand_eids.append(eids)
+        expand_overflow = expand_overflow + ovf
         if h + 1 < len(fanouts):
-            nxt = jnp.concatenate(nbr_parts)
-            new = jnp.where(_isin_sorted(node_set, nxt), sent_node, nxt)
+            new = jnp.where(_isin_sorted(node_set, nbrs), sent_node, nbrs)
             frontier, distinct = _unique_count(new, fcap, sent_node)
             fmask = frontier != sent_node
             frontier_overflow = frontier_overflow + jnp.maximum(
@@ -254,7 +292,7 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
             node_set = _unique_fill(
                 jnp.concatenate([node_set, frontier]), node_capacity,
                 sent_node)
-    return jnp.concatenate(cand_eids), frontier_overflow
+    return jnp.concatenate(cand_eids), frontier_overflow, expand_overflow
 
 
 def negative_samples_device(
@@ -349,15 +387,17 @@ def sample_nodes_device(
     seeds_m = jnp.where(seed_mask, seed_nodes, sent_node)
     node_set = _unique_fill(seeds_m, node_capacity, sent_node)
 
-    cand, f_overflow = _expand_all(dg, seed_nodes, seed_mask, node_set, key,
-                                   fanouts, node_capacity, sent_node,
-                                   sent_edge, frontier_capacity)
-
     slack = 2 if dg.out_indptr is not None else 1
+    cand, f_overflow, x_overflow = _expand_all(
+        dg, seed_nodes, seed_mask, node_set, key, fanouts, node_capacity,
+        sent_node, sent_edge, frontier_capacity,
+        edge_budget=int(edge_capacity) * slack)
+
     cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
     uniq, distinct = _unique_count(cand, int(edge_capacity), sent_edge)
     edge_mask = uniq != sent_edge
-    num_dropped = jnp.maximum(distinct - edge_mask.sum(), 0) + overflow
+    num_dropped = (jnp.maximum(distinct - edge_mask.sum(), 0) + overflow
+                   + x_overflow)
     edge_gather = jnp.where(edge_mask, uniq, 0).astype(jnp.int32)
 
     src_g = jnp.where(edge_mask, dg.src[edge_gather], sent_node)
@@ -441,9 +481,13 @@ def sample_edges_device(
     node_set = _unique_fill(
         jnp.concatenate([seed_src, seed_dst]), node_capacity, sent_node)
 
-    cand, f_overflow = _expand_all(dg, frontier, fmask, node_set, key,
-                                   fanouts, node_capacity, sent_node,
-                                   sent_edge, frontier_capacity)
+    # 2x slack under undirected expansion: an edge can be drawn from both
+    # of its endpoints' views
+    slack = 2 if dg.out_indptr is not None else 1
+    cand, f_overflow, x_overflow = _expand_all(
+        dg, frontier, fmask, node_set, key, fanouts, node_capacity,
+        sent_node, sent_edge, frontier_capacity,
+        edge_budget=int(edge_capacity) * slack)
     # drop candidates that are seed edges (seed lanes already carry them)
     seed_sorted = jnp.sort(seed_eid)
     cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)
@@ -451,16 +495,13 @@ def sample_edges_device(
     R = int(edge_capacity) - B
     if R <= 0:
         raise ValueError("edge_capacity must exceed the seed batch size")
-    # compact the ragged candidate rectangle (mostly-invalid lanes when
-    # degree << fanout) BEFORE the dedup sort — the sort then runs over
-    # ~edge_capacity lanes instead of frontier*fanout lanes (~10x less sort
-    # work at the config of record). 2x slack under undirected expansion:
-    # an edge can be drawn from both of its endpoints' views.
-    slack = 2 if dg.out_indptr is not None else 1
+    # merge the per-hop budgeted buffers before the dedup sort (the sort
+    # then runs over ~edge_capacity lanes, not frontier*fanout lanes)
     cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
     uniq, distinct = _unique_count(cand, R, sent_edge)
     kept_mask = uniq != sent_edge
-    num_dropped = jnp.maximum(distinct - kept_mask.sum(), 0) + overflow
+    num_dropped = (jnp.maximum(distinct - kept_mask.sum(), 0) + overflow
+                   + x_overflow)
 
     edge_gather = jnp.concatenate(
         [jnp.where(seed_mask, seeds[:, 2], 0),
