@@ -289,9 +289,12 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
             fmask = frontier != sent_node
             frontier_overflow = frontier_overflow + jnp.maximum(
                 distinct - fmask.sum(), 0)
-            node_set = _unique_fill(
-                jnp.concatenate([node_set, frontier]), node_capacity,
-                sent_node)
+            if h + 2 < len(fanouts):
+                # the seen-set is only read by the NEXT frontier build —
+                # skip the merge sort before the final hop
+                node_set = _unique_fill(
+                    jnp.concatenate([node_set, frontier]), node_capacity,
+                    sent_node)
     return jnp.concatenate(cand_eids), frontier_overflow, expand_overflow
 
 
