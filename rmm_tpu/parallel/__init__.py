@@ -1,6 +1,7 @@
 """Mesh data parallelism + host→device prefetch."""
 from .mesh import data_sharded, make_mesh, replicated  # noqa: F401
 from .data_parallel import (  # noqa: F401
+    make_dp_device_pretrain_step,
     make_dp_device_train_step,
     make_dp_eval_step,
     make_dp_pretrain_step,

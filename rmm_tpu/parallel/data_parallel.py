@@ -164,6 +164,75 @@ def make_dp_pretrain_step(pm, tx, mesh: Mesh, mode: str, axis: str = "data",
     return jax.jit(sharded)
 
 
+def make_dp_device_pretrain_step(pm, tx, materialize: Callable, mesh: Mesh,
+                                 mode: str, axis: str = "data",
+                                 moo: str = "sum"):
+    """SSL pretrain step with IN-JIT device-side sampling under DP: each
+    chip receives only its SeedBatch; the k-hop subgraph AND the negative
+    edges materialize on-device inside the SPMD program
+    (``PretrainTrainer._materialize_dev``) — the zero-host-traffic joint
+    MCM+LP loop, scaling per-chip sampling with the mesh. Gradient/loss/
+    batch-stat reductions and the optional MoCo combine follow
+    :func:`make_dp_pretrain_step`. Signature: (params, batch_stats,
+    opt_state, moco_state, stacked_seed_batch, real[D], edge_table,
+    dgraph) → (params, batch_stats, opt_state, moco_state, loss,
+    dropped[D], kept[D])."""
+    import optax
+
+    from ..nn.weighting import moco_combine
+
+    def per_chip(params, batch_stats, opt_state, moco_state, sb, real,
+                 edge_table, dgraph):
+        sb = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, sb)
+        w = real[0].astype(jnp.float32)
+        denom = jax.lax.psum(w, axis)
+        batch, n_drop, kept = materialize(sb, dgraph)
+        rng = jax.random.PRNGKey(sb.sampler_seed + jnp.uint32(0x51ED5EED))
+
+        def pmean_w(tree):
+            return jax.tree_util.tree_map(
+                lambda t: jax.lax.psum(t * w, axis) / denom, tree)
+
+        if moo == "moco":
+            def task_loss(p, name):
+                losses, _aux, stats = pm.mode_losses(
+                    p, batch_stats, batch, edge_table, rng, True, mode)
+                return losses[name], stats
+
+            (l_lp, stats), g_lp = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "lp")
+            (l_mcm, _), g_mcm = jax.value_and_grad(
+                task_loss, has_aux=True)(params, "mcm")
+            g_lp, g_mcm = pmean_w(g_lp), pmean_w(g_mcm)
+            l_lp = jax.lax.psum(l_lp * w, axis) / denom
+            l_mcm = jax.lax.psum(l_mcm * w, axis) / denom
+            grads, moco_state, _lambd = moco_combine(
+                moco_state, [g_lp, g_mcm], [l_lp, l_mcm], params)
+            loss = l_lp + l_mcm
+        else:
+            def loss_fn(p):
+                losses, _aux, stats = pm.mode_losses(
+                    p, batch_stats, batch, edge_table, rng, True, mode)
+                return sum(losses.values()), stats
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = pmean_w(grads)
+            loss = jax.lax.psum(loss * w, axis) / denom
+        stats = pmean_w(stats)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, stats, opt_state, moco_state, loss, n_drop[None],
+                kept[None])
+
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)))
+    return jax.jit(sharded)
+
+
 def make_dp_device_train_step(model, tx, loss_from_pred: Callable,
                               materialize: Callable, mesh: Mesh,
                               axis: str = "data"):

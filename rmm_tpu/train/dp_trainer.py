@@ -257,18 +257,26 @@ class DataParallelPretrainTrainer(PretrainTrainer):
     def __init__(self, cfg: Config, dataset, mode: str = "mcm-lp",
                  n_devices: Optional[int] = None):
         super().__init__(cfg, dataset, mode=mode)
-        from ..parallel import make_dp_pretrain_step
+        from ..parallel import make_dp_device_pretrain_step, make_dp_pretrain_step
 
         self.mesh = make_mesh(n_devices)
         self.n_chips = int(self.mesh.devices.size)
         self._dp_pre_step = make_dp_pretrain_step(self.pm, self.tx,
                                                   self.mesh, mode,
                                                   moo=cfg.moo)
+        if self._use_device_sampler():
+            # --dp --sampler device: subgraphs AND negatives materialize
+            # on-device per chip (zero-host-traffic joint MCM+LP loop)
+            self._dp_dev_pre_step = make_dp_device_pretrain_step(
+                self.pm, self.tx, self._materialize_dev, self.mesh, mode,
+                moo=cfg.moo)
 
     def train_epoch(self, view, epoch: int) -> dict:
         t0 = time.time()
         D = self.n_chips
-        losses = []
+        use_dev = self._use_device_sampler()
+        dgraph = self._dgraph("train") if use_dev else None
+        losses, drops = [], []
         dropped = kept = 0
         pending = []
         window = max(int(getattr(self.cfg, "inflight_groups", 2)), 1)
@@ -282,26 +290,40 @@ class DataParallelPretrainTrainer(PretrainTrainer):
             while len(pending) < D:
                 pending.append(_zero_mask_copy(pending[-1]))
             stacked = shard_batch(self.mesh, stack_batches(pending))
-            self.rng, k = jax.random.split(self.rng)
-            rngs = jax.random.split(k, D)
-            (self.params, self.batch_stats, self.opt_state,
-             self.moco_state, loss) = self._dp_pre_step(
-                self.params, self.batch_stats, self.opt_state,
-                self.moco_state, stacked, rngs, real, self.edge_table)
+            if use_dev:
+                (self.params, self.batch_stats, self.opt_state,
+                 self.moco_state, loss, b_drop,
+                 b_kept) = self._dp_dev_pre_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    self.moco_state, stacked, real, self.edge_table,
+                    dgraph)
+                drops.append((b_drop[:n_real], b_kept[:n_real]))
+            else:
+                self.rng, k = jax.random.split(self.rng)
+                rngs = jax.random.split(k, D)
+                (self.params, self.batch_stats, self.opt_state,
+                 self.moco_state, loss) = self._dp_pre_step(
+                    self.params, self.batch_stats, self.opt_state,
+                    self.moco_state, stacked, rngs, real, self.edge_table)
             losses.append(loss)
             pending.clear()
             inflight.append(loss)
             if len(inflight) > window:
                 jax.device_get(inflight.pop(0))
 
-        for gb in Prefetcher(self._batches(view, "train", epoch),
-                             depth=2 * D, device_put=False):
-            dropped += gb.num_dropped
-            kept += int(gb.edge_mask.sum())
+        src_iter = (self._seed_batches(view, "train", epoch) if use_dev
+                    else self._batches(view, "train", epoch))
+        for gb in Prefetcher(src_iter, depth=2 * D, device_put=False):
+            if not use_dev:
+                dropped += gb.num_dropped
+                kept += int(gb.edge_mask.sum())
             pending.append(gb)
             if len(pending) == D:
                 flush()
         flush()
+        for b_drop, b_kept in drops:
+            dropped += int(np.asarray(b_drop).sum())
+            kept += int(np.asarray(b_kept).sum())
 
         return {"loss": float(np.mean([float(l) for l in losses])),
                 "sec": time.time() - t0, "chips": self.n_chips,

@@ -81,3 +81,23 @@ def test_fused_cli_dp_moco(tmp_path):
     ])
     assert len(history) == 1
     assert np.isfinite(history[0]["loss"])
+
+
+def test_fused_cli_dp_device_sampler(tmp_path):
+    """--dp --sampler device: zero-host-traffic SSL — per-chip subgraphs
+    AND negatives materialize in-jit inside the SPMD step."""
+    csv = str(tmp_path / "aml.csv")
+    write_synthetic_aml_csv(csv, num_rows=600, num_accounts=80, seed=4)
+    from rmm_tpu.cli import fused
+
+    history, best = fused.main([
+        "--dataset", csv, "--mode", "mcm-lp", "--epochs", "1",
+        "--batch_size", "16", "--channels", "8", "--num_layers", "1",
+        "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
+        "--dp", "4", "--sampler", "device", "--scan_layers",
+        "--testing", "--wandb_dir", str(tmp_path / "wandb"),
+    ])
+    assert len(history) == 1
+    assert history[0]["chips"] == 4
+    assert np.isfinite(history[0]["loss"])
+    assert 0.0 <= history[0]["drop_rate"] < 1.0
