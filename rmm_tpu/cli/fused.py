@@ -70,6 +70,10 @@ def build_parser():
     p.add_argument("--sampler", default="auto",
                    choices=("auto", "host", "device"),
                    help="where k-hop sampling runs (device = in-jit)")
+    p.add_argument("--steps_per_dispatch", default=1, type=int,
+                   help=">1: lax.scan K pretrain steps per dispatch")
+    p.add_argument("--sampler_threads", default=1, type=int)
+    p.add_argument("--inflight_groups", default=2, type=int)
     return p
 
 
@@ -93,6 +97,9 @@ def main(argv=None):
         testing=args.testing, wandb_dir=args.wandb_dir,
         precision=args.precision, scan_layers=args.scan_layers,
         frontier_capacity=args.frontier_capacity, sampler=args.sampler,
+        steps_per_dispatch=args.steps_per_dispatch,
+        sampler_threads=args.sampler_threads,
+        inflight_groups=args.inflight_groups,
     )
     logging.info(cfg.to_json())
     pretrain = {PretrainType.LINK_PRED}
