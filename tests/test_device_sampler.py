@@ -275,3 +275,25 @@ def test_calibration_sets_frontier_capacity(aml_csv):
     ec, nc = ds.calibrate_capacities(batch_size=16)
     assert ds.frontier_capacity >= 256
     assert ds.frontier_capacity <= nc
+
+
+def test_three_hop_exact_parity():
+    """3-hop config: non-final hops keep full draw budgets, so the
+    deterministic regime still matches the host sampler exactly."""
+    rng = np.random.RandomState(7)
+    src, dst, n = random_graph(rng, num_nodes=60, num_edges=240)
+    fanouts = (256, 256, 256)
+    host, dev = make_pair(src, dst, n, fanouts)
+    seeds = seed_batch(rng, src, dst, b=4)
+    E_cap, N_cap = 512, 128
+
+    sub = host.sample_edges(seeds[:, 0], seeds[:, 1], seeds[:, 2],
+                            E_cap, N_cap, rng_seed=3)
+    out = jax.jit(lambda s, m, k: sample_edges_device(
+        dev, s, m, k, fanouts, E_cap, N_cap))(
+            seeds, np.ones(4, bool), jax.random.PRNGKey(0))
+    host_edges = set(sub.edge_ids[sub.edge_mask].tolist())
+    dev_edges = set(np.asarray(out["edge_gather"])[
+        np.asarray(out["edge_mask"])].tolist())
+    assert host_edges == dev_edges
+    assert int(out["num_dropped"]) == 0
