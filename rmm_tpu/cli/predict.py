@@ -14,7 +14,6 @@ reference has no inference entry point — its scripts end at test-set F1
 """
 from __future__ import annotations
 
-import argparse
 import logging
 
 import numpy as np

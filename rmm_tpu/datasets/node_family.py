@@ -20,7 +20,6 @@ from .base import (
     blank_masked_cells,
     build_mask_target,
     create_mask,
-    pack_link_column,
     pack_target,
 )
 from .graph_dataset import EdgeTable, GraphTableDataset, NodeTable

@@ -10,7 +10,6 @@ padded subgraphs. Shared idioms preserved from the reference:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
