@@ -151,7 +151,8 @@ def build_trainer(rows: int):
                                 num_accounts=max(rows // 16, 64), seed=0)
     # supervised config of record (main.py:161-190, utils.py:40-44)
     cfg = Config(model="tabgnn", data=csv, task="edge_classification",
-                 batch_size=200, n_hidden=32, n_gnn_layers=2,
+                 batch_size=int(os.environ.get("BENCH_BATCH", 200)),
+                 n_hidden=32, n_gnn_layers=2,
                  num_neighs=(100, 100), steps_per_dispatch=TRAIN_K,
                  sampler_threads=4, epochs=1, testing=True,
                  sampler=os.environ.get("BENCH_SAMPLER", "auto"))
