@@ -101,3 +101,23 @@ def test_fused_cli_dp_device_sampler(tmp_path):
     assert history[0]["chips"] == 4
     assert np.isfinite(history[0]["loss"])
     assert 0.0 <= history[0]["drop_rate"] < 1.0
+
+
+def test_fused_dp_device_deterministic(tmp_path):
+    """Same config + seed → bit-identical loss trajectory under
+    --dp --sampler device (sampling keys and dropout keys both derive
+    from the deterministic per-batch sampler seeds)."""
+    csv = str(tmp_path / "aml.csv")
+    write_synthetic_aml_csv(csv, num_rows=400, num_accounts=60, seed=5)
+    from rmm_tpu.cli import fused
+
+    args = [
+        "--dataset", csv, "--mode", "mcm", "--epochs", "1",
+        "--batch_size", "16", "--channels", "8", "--num_layers", "1",
+        "--khop_neighbors", "4", "4", "--num_neg_samples", "4",
+        "--dp", "4", "--sampler", "device", "--testing",
+        "--wandb_dir", str(tmp_path / "wandb"),
+    ]
+    h1, _ = fused.main(args)
+    h2, _ = fused.main(args)
+    assert h1[0]["loss"] == h2[0]["loss"]
