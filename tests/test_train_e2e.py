@@ -1,5 +1,7 @@
 """End-to-end training tests on synthetic AML (the dummy.csv strategy of
 the reference, SURVEY §4)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -88,3 +90,39 @@ def test_checkpoint_roundtrip_and_encoder_transfer(synth_csv, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tr3.variables["params"]),
                     jax.tree_util.tree_leaves(tr.variables["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_supervised_checkpoint_across_scan_layouts(synth_csv, tmp_path):
+    """A tabgnnfused checkpoint saved UNROLLED restores into a trainer
+    built with --scan_layers (and evaluates identically) — the layout
+    bridge working through the full task-model tree."""
+    from rmm_tpu.utils.checkpoint import load_components
+
+    def cfg_of(scan):
+        return Config(model="tabgnnfused", data=synth_csv,
+                      task="edge_classification", batch_size=32,
+                      n_hidden=16, n_gnn_layers=2, num_neighs=(4, 4),
+                      edge_capacity=256, node_capacity=256, epochs=1,
+                      testing=True, lr=1e-3, scan_layers=scan)
+
+    def make_ds(cfg):
+        return IBMTransactionsAML(root=synth_csv,
+                                  khop_neighbors=cfg.num_neighs,
+                                  channels=cfg.n_hidden,
+                                  edge_capacity=cfg.edge_capacity,
+                                  node_capacity=cfg.node_capacity)
+
+    cfg_u = cfg_of(False)
+    tr_u = Trainer(cfg_u, make_ds(cfg_u))
+    run_dir = str(tmp_path / "run")
+    tr_u.fit(run_dir=run_dir)
+    va = tr_u.dataset.edges.split()[1]
+    ref = tr_u.evaluate(va, "val")
+
+    cfg_s = cfg_of(True)
+    tr_s = Trainer(cfg_s, make_ds(cfg_s))
+    tr_s.variables = load_components(os.path.join(run_dir, "0"),
+                                     tr_s.variables)
+    assert "layers" in tr_s.variables["params"]["model"]
+    got = tr_s.evaluate(va, "val")
+    assert got["f1"] == pytest.approx(ref["f1"], abs=1e-6)
