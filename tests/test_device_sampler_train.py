@@ -106,3 +106,24 @@ def test_pretrain_device_sampler(tmp_path):
     rec = hist[-1]
     assert np.isfinite(rec["loss"])
     assert 0.0 < rec["val_mrr"] <= 1.0
+
+
+def test_node_task_dp_device_sampler(tmp_path):
+    """node classification × --dp × --sampler device: the DP device step
+    routes node-seeded SeedBatches through sample_nodes_device per chip."""
+    from rmm_tpu.datasets.elliptic import EllipticBitcoin
+    from rmm_tpu.datasets.synthetic import write_synthetic_node_dataset
+    from rmm_tpu.train.dp_trainer import DataParallelTrainer
+
+    root = write_synthetic_node_dataset(str(tmp_path / "ell"),
+                                        family="elliptic")
+    ds = EllipticBitcoin(root=root, khop_neighbors=(4, 4),
+                         edge_capacity=1024, node_capacity=512)
+    cfg = Config(model="tabgnn", task="node_classification", n_classes=2,
+                 batch_size=32, epochs=1, n_hidden=16, n_gnn_layers=1,
+                 num_neighs=(4, 4), lr=1e-3, sampler="device",
+                 edge_capacity=1024, node_capacity=512, testing=True)
+    tr = DataParallelTrainer(cfg, ds, n_devices=4)
+    hist, best = tr.fit()
+    assert hist[-1]["chips"] == 4
+    assert np.isfinite(hist[-1]["loss"])
