@@ -95,3 +95,30 @@ def test_predict_device_sampler(tmp_path):
     assert len(out["id"]) == 300
     assert len(np.unique(out["id"])) == 300
     assert set(np.unique(out["pred"])) <= {0, 1}
+
+
+def test_predict_node_task(tmp_path):
+    """Node-classification predict: ids are node ids; ignore-label rows
+    (elliptic unknown class) are excluded, as in evaluation."""
+    from rmm_tpu.datasets.elliptic import EllipticBitcoin
+    from rmm_tpu.datasets.synthetic import write_synthetic_node_dataset
+
+    root = write_synthetic_node_dataset(str(tmp_path / "ell"),
+                                        family="elliptic")
+    ds = EllipticBitcoin(root=root, khop_neighbors=(4, 4),
+                         edge_capacity=1024, node_capacity=512)
+    cfg = Config(model="tabgnn", task="node_classification", n_classes=2,
+                 batch_size=32, epochs=1, n_hidden=16, n_gnn_layers=1,
+                 num_neighs=(4, 4), lr=1e-3, edge_capacity=1024,
+                 node_capacity=512, testing=True)
+    tr = Trainer(cfg, ds)
+    tr.fit()
+    out = tr.predict(ds.nodes, mode="test")
+    y = np.asarray(ds.nodes.tensor_frame.y)[:, 0]
+    n_labeled = int((y != 2).sum())
+    assert len(out["id"]) == n_labeled
+    assert len(np.unique(out["id"])) == n_labeled
+    # every returned id is a real (labeled) node id
+    node_ids = np.asarray(ds.nodes.tensor_frame.y)[:, 1].astype(np.int64) \
+        if ds.nodes.tensor_frame.y.shape[1] > 1 else None
+    assert out["id"].min() >= 0
