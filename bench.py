@@ -340,11 +340,56 @@ def measure_ssl_train(rows: int = ROWS):
     return cfg.batch_size / step_time, mfu
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """Check the accelerator is actually reachable from a SUBPROCESS —
+    through the TPU tunnel ``jax.devices()`` HANGS (not errors) when the
+    far end is down, which would wedge the whole benchmark run."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+FELL_BACK_TO_CPU = False
+
+
 def main():
+    global FELL_BACK_TO_CPU
     if "--cpu-baseline" in sys.argv:
         # clean process: CPU platform, reduced iters, no e2e epoch
         dev, _, _, _ = measure_train(rows=ROWS, k=5, e2e=False)
         print(json.dumps({"train_rows_per_sec": dev}))
+        return
+    if (os.environ.get("JAX_PLATFORMS", "") not in ("cpu", "")
+            and not _probe_device()):
+        # dead tunnel: report honest CPU numbers instead of hanging
+        print("accelerator unreachable (tunnel down?) — falling back to "
+              "CPU; numbers below are NOT TPU numbers", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path[:] = [p for p in sys.path if "axon_site" not in p]
+        for v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+                  "AXON_LOOPBACK_RELAY"):
+            os.environ.pop(v, None)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+        FELL_BACK_TO_CPU = True
+        # tiny honest CPU run: the full benchmark at TPU shapes would take
+        # hours on one core and time the driver out
+        dev, sampler_rps, _, _ = measure_train(rows=1 << 14, k=3, e2e=False)
+        print(json.dumps({
+            "metric": "supervised encode+train rows/sec/chip "
+                      "(tabgnn, config of record)",
+            "value": round(dev, 1), "unit": "rows/s", "vs_baseline": None,
+            "sampler_rows_per_sec": round(sampler_rps, 1),
+            "platform": "cpu-FALLBACK-tunnel-down",
+        }))
         return
 
     device_rps, sampler_rps, e2e_rps, mfu = measure_train()
@@ -405,6 +450,7 @@ def main():
         "ssl_train_rows_per_sec": (round(ssl_rps, 1)
                                    if ssl_rps is not None else None),
         "ssl_mfu": round(ssl_mfu, 4) if ssl_mfu is not None else None,
+        "platform": ("cpu-FALLBACK-tunnel-down" if FELL_BACK_TO_CPU else None),
     }))
 
 
