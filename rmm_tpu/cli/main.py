@@ -63,8 +63,11 @@ def main(argv=None):
         components = None if cfg.checkpoint else ["node_encoder",
                                                   "edge_encoder"]
         logging.info(f"Loading {components or 'all'} from {cfg.load_model}")
-        trainer.variables = load_components(cfg.load_model,
-                                            trainer.variables, components)
+        # full-model resume must not silently fall back to fresh init;
+        # encoder transfer (SSL → supervised) legitimately merges loose.
+        trainer.variables = load_components(
+            cfg.load_model, trainer.variables, components,
+            on_mismatch="raise" if cfg.checkpoint else "warn")
 
     n_params = sum(int(np.prod(np.shape(p)))
                    for p in __import__("jax").tree_util.tree_leaves(

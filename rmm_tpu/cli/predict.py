@@ -42,7 +42,10 @@ def main(argv=None):
     if hasattr(dataset, "n_classes"):
         cfg = cfg.replace(n_classes=dataset.n_classes)
     trainer = Trainer(cfg, dataset)
-    trainer.variables = load_components(args.load_model, trainer.variables)
+    # serving must never run on fresh-init weights: raise on any leaf
+    # that fails to load (e.g. a checkpoint trained at another --n_hidden)
+    trainer.variables = load_components(args.load_model, trainer.variables,
+                                        on_mismatch="raise")
 
     table = dataset.nodes if "node" in cfg.task else dataset.edges
     if args.split == "all":

@@ -11,6 +11,7 @@ missing subtrees keep their fresh init (the ``strict=False`` analogue).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 from typing import Any, Optional
@@ -21,29 +22,61 @@ from flax import serialization
 
 COMPONENTS = ("node_encoder", "edge_encoder", "model", "decoder")
 
+# Checkpoint format version. History:
+#   1 (implicit, rounds 1-2): PNA aggregator blocks ordered
+#     [mean, max, min, std].
+#   2 (round 3+): blocks reordered to PyG parity [mean, min, max, std]
+#     (``ops/segment.py:_pna_combine``). post_nn weights from a v1
+#     checkpoint have identical shapes but swapped min/max blocks, so
+#     loading one silently degrades the model — detect and warn.
+CKPT_FORMAT = 2
+
 
 def save_pytree(path: str, tree: Any) -> None:
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(tree)))
 
 
-def _merge_loose(template: Any, loaded: Any) -> Any:
+def _merge_loose(template: Any, loaded: Any, path: str = "",
+                 failures: Optional[list] = None) -> Any:
     """``strict=False`` merge: graft leaves present in both trees (by
     dict path) with matching shape onto the template; everything else
     keeps its fresh init — the analogue of the reference's
     ``load_state_dict(..., strict=False)`` encoder transfer
     (``main.py:271-276``), needed when the SSL schema carries columns the
-    supervised schema doesn't (or vice versa)."""
+    supervised schema doesn't (or vice versa).
+
+    Every leaf that falls back to fresh init is recorded in ``failures``
+    (path + reason) so callers can warn/raise instead of silently
+    predicting from random weights."""
     if isinstance(template, dict):
         if not isinstance(loaded, dict):
+            if failures is not None:
+                failures.append(f"{path or '<root>'}: subtree missing "
+                                "from checkpoint")
             return template
-        return {k: (_merge_loose(v, loaded[k]) if k in loaded else v)
-                for k, v in template.items()}
+        out = {}
+        for k, v in template.items():
+            sub = f"{path}/{k}" if path else k
+            if k in loaded:
+                out[k] = _merge_loose(v, loaded[k], sub, failures)
+            else:
+                out[k] = v
+                if failures is not None:
+                    failures.append(f"{sub}: missing from checkpoint")
+        return out
     if loaded is None:
+        if failures is not None:
+            failures.append(f"{path}: missing from checkpoint")
         return template
     t = np.asarray(template)
     l = np.asarray(loaded)
-    return loaded if t.shape == l.shape else template
+    if t.shape == l.shape:
+        return loaded
+    if failures is not None:
+        failures.append(f"{path}: shape mismatch "
+                        f"(checkpoint {l.shape} vs model {t.shape})")
+    return template
 
 
 def _convert_scan_layout(state: dict, tstate: dict) -> dict:
@@ -65,19 +98,43 @@ def _convert_scan_layout(state: dict, tstate: dict) -> dict:
             for k, v in state.items()}
 
 
-def load_pytree(path: str, template: Any, strict: bool = True) -> Any:
+def load_pytree(path: str, template: Any, strict: bool = True,
+                on_mismatch: str = "warn") -> Any:
+    """Deserialize ``path`` into ``template``'s structure.
+
+    ``strict=True`` is an exact-structure load (flax raises on any
+    structural difference). ``strict=False`` is a loose merge (after
+    unrolled↔scanned layout conversion): leaves that can't be grafted —
+    missing from the checkpoint OR shape-mismatched (flax ``from_bytes``
+    restores by structure only and would "successfully" load a kernel
+    trained at another ``--n_hidden``) — keep their fresh init. Every
+    such leaf is logged; ``on_mismatch="raise"`` turns any into a
+    ValueError — used by resume/predict paths where a partial load means
+    the model would run on random weights (advisor r3 finding #1)."""
     with open(path, "rb") as f:
         data = f.read()
     if strict:
         return serialization.from_bytes(template, data)
-    try:
-        return serialization.from_bytes(template, data)
-    except (ValueError, KeyError):
-        state = serialization.msgpack_restore(data)
-        tstate = serialization.to_state_dict(template)
-        state = _convert_scan_layout(state, tstate)
-        merged = _merge_loose(tstate, state)
-        return serialization.from_state_dict(template, merged)
+    state = serialization.msgpack_restore(data)
+    tstate = serialization.to_state_dict(template)
+    state = _convert_scan_layout(state, tstate)
+    failures: list = []
+    merged = _merge_loose(tstate, state, failures=failures)
+    if failures:
+        total = len(jax.tree_util.tree_leaves(tstate))
+        detail = "; ".join(failures[:10])
+        if len(failures) > 10:
+            detail += f"; … (+{len(failures) - 10} more)"
+        msg = (f"checkpoint {path}: {len(failures)}/{total} leaves kept "
+               f"their FRESH INIT (not loaded): {detail}")
+        if on_mismatch == "raise":
+            raise ValueError(msg)
+        if len(failures) >= total:
+            logging.error("%s — the whole component fell back to "
+                          "fresh init; outputs will be garbage", msg)
+        else:
+            logging.warning(msg)
+    return serialization.from_state_dict(template, merged)
 
 
 def save_checkpoint(run_dir: str, epoch, variables: dict,
@@ -108,6 +165,8 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
             json.dump({"best_m": np.asarray(best_m).tolist()
                        if not isinstance(best_m, (int, float, list))
                        else best_m}, f)
+    with open(os.path.join(ck, "meta.json"), "w") as f:
+        json.dump({"ckpt_format": CKPT_FORMAT}, f)
     if prune_previous and epoch > 0:
         shutil.rmtree(os.path.join(run_dir, str(epoch - 1)),
                       ignore_errors=True)
@@ -115,15 +174,29 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
 
 
 def load_components(ck_dir: str, variables: dict,
-                    components: Optional[list] = None) -> dict:
+                    components: Optional[list] = None,
+                    on_mismatch: str = "warn") -> dict:
     """Load a subset of component pytrees into fresh variables
     (missing/extra components are left at their initialization —
-    ``strict=False`` semantics)."""
+    ``strict=False`` semantics). A component whose file is absent from
+    the checkpoint keeps its fresh init with a loud warning; pass
+    ``on_mismatch="raise"`` for resume/predict paths where any partial
+    load is an error (advisor r3 finding #1)."""
+    check_ckpt_format(ck_dir)
     params = dict(variables["params"])
     for comp in components or list(params.keys()):
         path = os.path.join(ck_dir, comp)
-        if comp in params and os.path.exists(path):
-            params[comp] = load_pytree(path, params[comp], strict=False)
+        if comp not in params:
+            continue
+        if not os.path.exists(path):
+            msg = (f"checkpoint {ck_dir} has no '{comp}' component — "
+                   "it keeps its FRESH INIT")
+            if on_mismatch == "raise":
+                raise FileNotFoundError(msg)
+            logging.warning(msg)
+            continue
+        params[comp] = load_pytree(path, params[comp], strict=False,
+                                   on_mismatch=on_mismatch)
     out = dict(variables)
     out["params"] = params
     extras_path = os.path.join(ck_dir, "extras")
@@ -135,6 +208,28 @@ def load_components(ck_dir: str, variables: dict,
     return out
 
 
+def check_ckpt_format(ck_dir: str) -> int:
+    """Read the checkpoint's format version (see ``CKPT_FORMAT``); warn
+    loudly on a pre-v2 checkpoint whose PNA post_nn min/max blocks would
+    be silently swapped by today's PyG-parity aggregator order."""
+    meta_path = os.path.join(ck_dir, "meta.json")
+    version = 1
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                version = int(json.load(f).get("ckpt_format", 1))
+        except (ValueError, OSError):
+            version = 1
+    if version < CKPT_FORMAT:
+        logging.warning(
+            "checkpoint %s has format v%d (< v%d): it predates the "
+            "round-3 PNA aggregator reorder [mean,max,min,std] → "
+            "[mean,min,max,std]; any PNA post_nn weights in it load with "
+            "min/max blocks SWAPPED. Re-train or convert before trusting "
+            "its outputs.", ck_dir, version, CKPT_FORMAT)
+    return version
+
+
 def load_best_m(ck_dir: str):
     with open(os.path.join(ck_dir, "best_m.json")) as f:
         return json.load(f)["best_m"]
@@ -142,8 +237,25 @@ def load_best_m(ck_dir: str):
 
 def parse_checkpoint_path(path: str) -> tuple[str, int]:
     """``<run_dir>/<epoch>/`` → (run_id, epoch) (reference resume parses
-    epoch + run id out of the load path, ``main.py:195-199``)."""
+    epoch + run id out of the load path, ``main.py:195-199``).
+
+    The trainers also write weights-only best-metric exports
+    (``best_acc``/``best_rmse``/``best_mrr``); resuming from one restarts
+    the epoch count at 0 (no opt_state is saved there — ``restore``
+    handles the absence). Any other non-integer tag is a clear error."""
     parts = [p for p in path.rstrip("/").split(os.sep) if p]
-    epoch = int(parts[-1])
+    tag = parts[-1]
     run_id = parts[-2] if len(parts) > 1 else ""
+    try:
+        epoch = int(tag)
+    except ValueError:
+        if tag.startswith("best_"):
+            logging.warning(
+                "checkpoint %s is a weights-only best-metric export; "
+                "resuming from epoch 0 without optimizer state", path)
+            epoch = 0
+        else:
+            raise ValueError(
+                f"checkpoint path must end in an epoch number or a "
+                f"best_* tag, got {tag!r}") from None
     return run_id, epoch

@@ -101,3 +101,76 @@ def test_config_dataset_overrides():
 def test_parse_checkpoint_path():
     run_id, epoch = parse_checkpoint_path("/w/run_ab12/7/")
     assert run_id == "run_ab12" and epoch == 7
+
+
+def test_parse_checkpoint_path_best_tags():
+    """best_* exports resume at epoch 0; other tags raise clearly
+    (advisor r3 #2)."""
+    import pytest
+
+    run_id, epoch = parse_checkpoint_path("/w/run_x/best_mrr")
+    assert run_id == "run_x" and epoch == 0
+    with pytest.raises(ValueError, match="best_"):
+        parse_checkpoint_path("/w/run_x/garbage_tag")
+
+
+def test_checkpoint_mismatch_warns_and_raises(tmp_path, caplog):
+    """strict=False loads warn about every fresh-init leaf; serving/resume
+    paths (on_mismatch='raise') error instead of silently predicting from
+    random weights (advisor r3 #1)."""
+    import logging
+
+    import pytest
+
+    from rmm_tpu.utils.checkpoint import (
+        load_components, load_pytree, save_pytree)
+
+    import numpy as _np
+
+    saved = {"dense": {"kernel": _np.ones((4, 4), _np.float32),
+                       "bias": _np.zeros((4,), _np.float32)}}
+    p = str(tmp_path / "model")
+    save_pytree(p, saved)
+
+    # different n_hidden → shape mismatch on kernel, bias fine
+    template = {"dense": {"kernel": _np.zeros((8, 8), _np.float32),
+                          "bias": _np.zeros((4,), _np.float32)}}
+    with caplog.at_level(logging.WARNING):
+        out = load_pytree(p, template, strict=False)
+    assert any("FRESH INIT" in r.message for r in caplog.records)
+    assert out["dense"]["kernel"].shape == (8, 8)          # kept fresh
+    assert float(out["dense"]["bias"].sum()) == 0.0        # loaded
+
+    with pytest.raises(ValueError, match="FRESH INIT"):
+        load_pytree(p, template, strict=False, on_mismatch="raise")
+
+    # a whole component missing from the checkpoint dir
+    vars_ = {"params": {"model": template, "decoder": template}}
+    save_pytree(str(tmp_path / "model2"), template)
+    with pytest.raises(FileNotFoundError, match="decoder"):
+        load_components(str(tmp_path), vars_, ["model2", "decoder"],
+                        on_mismatch="raise")
+
+
+def test_ckpt_format_warning(tmp_path, caplog):
+    """Pre-v2 checkpoints (no meta.json) trigger the PNA-reorder warning;
+    fresh saves carry ckpt_format=2 and stay silent (advisor r3 #3)."""
+    import logging
+
+    from rmm_tpu.utils.checkpoint import check_ckpt_format, save_checkpoint
+
+    old = str(tmp_path / "old")
+    import os as _os
+    _os.makedirs(old)
+    with caplog.at_level(logging.WARNING):
+        v = check_ckpt_format(old)
+    assert v == 1
+    assert any("SWAPPED" in r.message for r in caplog.records)
+
+    caplog.clear()
+    new = save_checkpoint(str(tmp_path / "run"), 0,
+                          {"params": {"model": {"w": np.zeros(2)}}})
+    with caplog.at_level(logging.WARNING):
+        v = check_ckpt_format(new)
+    assert v == 2
+    assert not any("SWAPPED" in r.message for r in caplog.records)
