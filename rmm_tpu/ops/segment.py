@@ -266,8 +266,10 @@ def _pna_combine(mean, mx, mn, sd, n, avg_log_deg):
 
 
 def _pna_stats(d2, dst, mask, num_nodes):
-    """(mean, mx, mn, sd, n [N,1]) — sort-based sums/std + scatter
-    extremes (the empirically fastest forward on TPU)."""
+    """(mean, mx, mn, sd, n [N,1], order, bounds) — sort-based sums/std +
+    scatter extremes (the empirically fastest forward on TPU). ``order``/
+    ``bounds`` are passed through so the analytic backward can count
+    extreme ties per segment without re-sorting."""
     F = d2.shape[1]
     order, sk, bounds = _segment_order(dst, num_nodes, mask)
     ds = d2[order]
@@ -285,19 +287,22 @@ def _pna_stats(d2, dst, mask, num_nodes):
     empty = n <= 0
     mx = jnp.where(empty, 0.0, mx)
     mn = jnp.where(empty, 0.0, mn)
-    return mean, mx, mn, sd, n
+    return mean, mx, mn, sd, n, order, bounds
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _pna_cv(messages, dst, mask_arr, num_nodes, avg_log_deg):
-    mean, mx, mn, sd, n = _pna_stats(messages, dst, mask_arr, num_nodes)
+    mean, mx, mn, sd, n, _, _ = _pna_stats(messages, dst, mask_arr,
+                                           num_nodes)
     return _pna_combine(mean, mx, mn, sd, n, avg_log_deg)
 
 
 def _pna_cv_fwd(messages, dst, mask_arr, num_nodes, avg_log_deg):
-    mean, mx, mn, sd, n = _pna_stats(messages, dst, mask_arr, num_nodes)
+    mean, mx, mn, sd, n, order, bounds = _pna_stats(
+        messages, dst, mask_arr, num_nodes)
     out = _pna_combine(mean, mx, mn, sd, n, avg_log_deg)
-    return out, (messages, dst, mask_arr, mean, mx, mn, sd, n)
+    return out, (messages, dst, mask_arr, mean, mx, mn, sd, n, order,
+                 bounds)
 
 
 def _pna_cv_bwd(num_nodes, avg_log_deg, res, dout):
@@ -306,9 +311,14 @@ def _pna_cv_bwd(num_nodes, avg_log_deg, res, dout):
     scatter-add for the gather transpose and a reverse cumsum; this is
     the hot op of every GNN train step, so the backward is hand-derived).
 
-    Max/min route gradient to every tying element (ties are measure-zero
-    for float messages; padded lanes are masked)."""
-    msg, dst, mask_arr, mean, mx, mn, sd, n = res
+    Max/min cotangents are split EVENLY across tying elements (the
+    symmetric subgradient): duplicate edges with identical attributes —
+    realistic in transaction data since pre_nn is a plain Dense — would
+    otherwise each receive the full cotangent, inflating the summed
+    message gradient k-fold vs the scatter/autodiff backends (advisor r3
+    finding #4). Tie counts come from the forward's sort order via cumsum
+    differences — still no scatter in the backward."""
+    msg, dst, mask_arr, mean, mx, mn, sd, n, order, bounds = res
     F = msg.shape[1]
     n1 = jnp.maximum(n, 1.0)
     deg = jnp.maximum(n[:, 0], 1.0)
@@ -328,10 +338,16 @@ def _pna_cv_bwd(num_nodes, avg_log_deg, res, dout):
     dmean = dmean_o - 2.0 * mean * dvar
     idx = jnp.clip(dst, 0, num_nodes - 1)
     inv_n = (1.0 / n1)[idx][:, 0][:, None]
+    tie_mx = msg == mx[idx]
+    tie_mn = msg == mn[idx]
+    # per-segment tie counts via the saved sort (padded lanes land in the
+    # dropped tail block past bounds[num_nodes], so no masking needed)
+    ties = jnp.concatenate([tie_mx, tie_mn], axis=1).astype(msg.dtype)
+    cnt = jnp.maximum(_sums_from_sorted(ties[order], bounds), 1.0)
     g = (dmean[idx] * inv_n
          + 2.0 * msg * dmean2[idx] * inv_n
-         + jnp.where(msg == mx[idx], dmx[idx], 0.0)
-         + jnp.where(msg == mn[idx], dmn[idx], 0.0))
+         + jnp.where(tie_mx, dmx[idx] / cnt[:, :F][idx], 0.0)
+         + jnp.where(tie_mn, dmn[idx] / cnt[:, F:][idx], 0.0))
     g = jnp.where(mask_arr[:, None], g, 0.0)
     zero_i = np.zeros(dst.shape, dtype=_jax_dtypes.float0)
     zero_b = np.zeros(mask_arr.shape, dtype=_jax_dtypes.float0)

@@ -155,3 +155,37 @@ def test_sort_scatter_grad_equivalence():
     for which in ("sort", "hybrid", "cv"):
         g = jax.grad(lambda d: loss(d, which))(data)
         np.testing.assert_allclose(g, g_scat, atol=2e-3, err_msg=which)
+
+
+def test_pna_cv_tie_gradient_split():
+    """Extreme cotangents are split evenly across tying messages
+    (advisor r3 #4): duplicate edges with identical attributes must not
+    inflate the summed gradient k-fold. Analytic fixture: two tied-max
+    lanes get d/2 each; the loose lane gets only its mean/std share."""
+    import jax
+
+    F = 1
+    msgs = jnp.array([[2.0], [2.0], [1.0]], dtype=jnp.float32)
+    ids = jnp.array([0, 0, 0])
+    mask = jnp.array([True, True, True])
+
+    def max_block(d):
+        out = pna_aggregate(d, ids, 1, 1.3, mask, impl="cv")
+        return out[0, 2 * F]  # identity-scaler max block
+
+    g = jax.grad(max_block)(msgs)
+    np.testing.assert_allclose(np.asarray(g)[:, 0], [0.5, 0.5, 0.0],
+                               atol=1e-6)
+
+    def min_block(d):
+        out = pna_aggregate(d, ids, 1, 1.3, mask, impl="cv")
+        return out[0, F]  # identity-scaler min block
+
+    msgs2 = jnp.array([[1.0], [3.0], [1.0]], dtype=jnp.float32)
+    g2 = jax.grad(min_block)(msgs2)
+    np.testing.assert_allclose(np.asarray(g2)[:, 0], [0.5, 0.0, 0.5],
+                               atol=1e-6)
+
+    # total gradient mass through the extreme blocks is conserved even
+    # with ties (sum over lanes == 1.0 == the cotangent)
+    assert abs(float(np.asarray(g).sum()) - 1.0) < 1e-6
