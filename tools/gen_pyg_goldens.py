@@ -20,6 +20,17 @@ Oracle selection:
   layers' documented semantics is used — an implementation independent
   of the JAX code under test (different framework, different author
   path), which pins transcription errors even without pyg itself.
+  The reimpl mirrors torch_geometric **2.5.x** (the release line the
+  reference's requirements target): ``torch_geometric/nn/conv/pna_conv.py``
+  (towers/pre_nn/post_nn wiring, ``avg_deg['log']`` from the degree
+  histogram), ``nn/aggr/basic.py::StdAggregation`` (``sqrt(relu(E[x²]−E[x]²)
+  + 1e-5)``), ``nn/aggr/scaler.py::DegreeScalerAggregation``
+  (amplification/attenuation with degree clamped ≥1), and
+  ``nn/conv/gin_conv.py::GINEConv`` (ReLU(x_j + edge) message, (1+eps)·x
+  self-term). The shared-misreading risk this leaves is additionally
+  pinned by the hand-derived fixtures in ``tests/golden/pna_analytic.json``
+  (``tests/test_pna_analytic.py``), whose numbers come from pencil
+  arithmetic, not from any implementation.
 
 The saved ``source`` field records which oracle produced the file.
 """
