@@ -11,6 +11,7 @@ from .data_parallel import (  # noqa: F401
 )
 from .tensor_parallel import (  # noqa: F401
     distributed_gather_rows,
+    make_dp_tp_device_train_step,
     make_dp_tp_eval_step,
     make_dp_tp_train_step,
     shard_table,

@@ -151,6 +151,65 @@ def make_dp_tp_train_step(model, tx, loss_from_pred: Callable, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def make_dp_tp_device_train_step(model, tx, loss_from_pred: Callable,
+                                 materialize: Callable, mesh: Mesh,
+                                 data_axis: str = "data",
+                                 model_axis: str = "model"):
+    """2-D (data × model) SPMD train step with IN-JIT device-side sampling.
+
+    The full production composition: each data-group receives only its
+    ``SeedBatch`` (seeds + labels, ~KB of host traffic); the k-hop
+    subgraph materializes on-device from the replicated HBM-resident CSR
+    (``graph/device_sampler.py`` — topology only, no features), and the
+    batch's feature rows are then reassembled from the ROW-SHARDED tables
+    with one distributed gather + psum over ``model_axis``. Gradients
+    reduce over ``data_axis`` only (model-axis replicas are identical
+    after the gather psum). Signature: (variables, opt_state,
+    stacked_seed_batch[D], rngs[D], real[D], edge_table, node_table,
+    dgraph) → (variables, opt_state, loss, dropped[D], kept[D])."""
+
+    def per_chip(variables, opt_state, sb, rng, real, edge_table,
+                 node_table, dgraph):
+        sb = jax.tree_util.tree_map(
+            lambda x: x[0] if x is not None else None, sb)
+        rng = rng[0]
+        w = real[0].astype(jnp.float32)
+        denom = jax.lax.psum(w, data_axis)
+        batch, n_drop, kept = materialize(sb, dgraph)
+        ident, edge_sub, node_sub = _pregather(batch, edge_table,
+                                               node_table, model_axis)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                edge_sub, node_sub, ident, True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            loss, _aux = loss_from_pred(out, ident)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g * w, data_axis) / denom, grads)
+        loss = jax.lax.psum(loss * w, data_axis) / denom
+        mutated = jax.tree_util.tree_map(
+            lambda s: jax.lax.psum(s * w, data_axis) / denom, mutated)
+        updates, opt_state = tx.update(grads, opt_state,
+                                       variables["params"])
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, variables["params"], updates)
+        return ({"params": params, **mutated}, opt_state, loss,
+                n_drop[None], kept[None])
+
+    sharded = _shmap(
+        per_chip, mesh=mesh,
+        in_specs=(P(), P(), P(data_axis), P(data_axis), P(data_axis),
+                  P(model_axis), P(model_axis), P()),
+        out_specs=(P(), P(), P(), P(data_axis), P(data_axis)))
+    return jax.jit(sharded)
+
+
 def make_dp_tp_eval_step(model, loss_from_pred: Callable, mesh: Mesh,
                          data_axis: str = "data",
                          model_axis: str = "model"):
