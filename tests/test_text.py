@@ -124,25 +124,68 @@ def test_finetune_llm_cli(reviews_csv, tmp_path):
 # pretrained (cached) HF LM path — tiny locally-constructed checkpoint
 # ---------------------------------------------------------------------------
 
+# COMMITTED real-format HF checkpoint (flax msgpack + config + tokenizer,
+# written by `python tools/make_tiny_lm.py`): load_cached_lm and the
+# frozen-embedder paths run end-to-end in EVERY environment, no
+# construction step, exactly like a cache-resident reference model
+# (/root/reference/downstream_model_LLM.py:59-83 loads from the HF cache).
+import os as _os
+
+TINY_LM = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "fixtures", "tiny_lm")
+
+
 @pytest.fixture(scope="module")
-def tiny_hf_checkpoint(tmp_path_factory):
-    transformers = pytest.importorskip("transformers")
-    d = tmp_path_factory.mktemp("tiny_bert")
-    cfg = transformers.BertConfig(
-        vocab_size=32, hidden_size=16, num_hidden_layers=1,
-        num_attention_heads=2, intermediate_size=24,
-        max_position_embeddings=64)
-    model = transformers.FlaxBertModel(cfg, seed=0)
-    model.save_pretrained(str(d))
-    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "a",
-             "good", "bad", "great", "product", "quality", "love", "hate",
-             "nice", "poor"]
-    vpath = d / "vocab.txt"
-    vpath.write_text("\n".join(vocab))
-    tok = transformers.BertTokenizerFast(vocab_file=str(vpath),
-                                         do_lower_case=True)
-    tok.save_pretrained(str(d))
-    return str(d)
+def tiny_hf_checkpoint():
+    pytest.importorskip("transformers")
+    assert _os.path.isfile(_os.path.join(TINY_LM, "flax_model.msgpack")), (
+        "committed fixture missing — regenerate: python tools/make_tiny_lm.py")
+    return TINY_LM
+
+
+def test_load_cached_lm_committed_checkpoint(tiny_hf_checkpoint):
+    """The cache-gated loader consumes the COMMITTED save_pretrained
+    artifact: real from_pretrained deserialization (msgpack weights +
+    config + tokenizer files), then a forward pass."""
+    from rmm_tpu.nn.text import load_cached_lm
+    from rmm_tpu.nn.text.pretrained import HFTokenizerWrapper
+
+    lm, tok = load_cached_lm(tiny_hf_checkpoint)
+    ids = HFTokenizerWrapper(tok, max_length=12)(
+        ["good product", "bad quality", ""])
+    assert ids.shape == (3, 12) and ids.dtype == np.int32
+    out = lm(input_ids=ids).last_hidden_state
+    assert out.shape == (3, 12, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flax_embedder_mean_and_e5_last_token_pooling(tiny_hf_checkpoint,
+                                                      tmp_path):
+    """FlaxTextToEmbedding over the committed checkpoint: mean pooling for
+    encoder models, and the e5-mistral branch (instruction prefix +
+    LAST-token pooling, reference TextToEmbedding.py:27-48,65-70) —
+    exercised by pointing the same weights at an e5-named path."""
+    import shutil
+
+    from rmm_tpu.nn.text.embedder import FlaxTextToEmbedding
+
+    emb = FlaxTextToEmbedding(tiny_hf_checkpoint, batch_size=4)
+    assert not emb.is_e5
+    e = emb(["good product", "bad quality", "love", "", "nice"])
+    assert e.shape == (5, 16) and np.isfinite(e).all()
+    # identical sentences embed identically; different ones differ
+    e2 = emb(["good product", "good product"])
+    np.testing.assert_allclose(e2[0], e2[1], rtol=1e-6)
+    assert np.abs(e[0] - e[1]).max() > 1e-6
+
+    e5_dir = tmp_path / "tiny-e5-mistral"
+    shutil.copytree(tiny_hf_checkpoint, e5_dir)
+    emb5 = FlaxTextToEmbedding(str(e5_dir), batch_size=4)
+    assert emb5.is_e5
+    f = emb5(["good product", "bad quality"])
+    assert f.shape == (2, 16) and np.isfinite(f).all()
+    # last-token pooling + prefix ≠ mean pooling on the same weights
+    assert np.abs(f[0] - e[0]).max() > 1e-6
 
 
 def test_pretrained_lm_cache_gated_error():
