@@ -18,24 +18,31 @@ import pandas as pd
 
 def prepare_aml_transactions(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
-    # global account ids from (bank, account) pairs
+    # global account ids from (bank, account) pairs; RENAME IN PLACE so
+    # the output keeps the reference's column order (Timestamp, From
+    # Bank, From ID, To Bank, To ID, ... — the raw Kaggle layout with
+    # Account/Account.1 relabeled, prepare_AML_transactions.py:24) —
+    # IBMTransactionsAML relabels headerless CSVs positionally to that
+    # order (ibm_aml.py:53-54)
     if "Account" in df.columns and "Account.1" in df.columns:
-        from_key = df["From Bank"].astype(str) + "_" + df["Account"].astype(str)
-        to_key = df["To Bank"].astype(str) + "_" + df["Account.1"].astype(str)
-    else:
-        from_key = df["From Bank"].astype(str) + "_" + df["From ID"].astype(str)
-        to_key = df["To Bank"].astype(str) + "_" + df["To ID"].astype(str)
+        df = df.rename(columns={"Account": "From ID", "Account.1": "To ID"})
+    from_key = df["From Bank"].astype(str) + "_" + df["From ID"].astype(str)
+    to_key = df["To Bank"].astype(str) + "_" + df["To ID"].astype(str)
     codes = pd.concat([from_key, to_key]).astype("category").cat
     n = len(df)
     df["From ID"] = codes.codes[:n].to_numpy().astype(np.float64)
     df["To ID"] = codes.codes[n:].to_numpy().astype(np.float64)
-    df = df.drop(columns=[c for c in ("Account", "Account.1")
-                          if c in df.columns])
 
-    # timestamps → unix seconds
-    if not np.issubdtype(df["Timestamp"].dtype, np.number):
+    # timestamps → unix seconds (raw Kaggle CSVs carry '%Y/%m/%d %H:%M'
+    # strings; pandas may load them as StringDtype, which np.issubdtype
+    # cannot interpret — use the pandas dtype API)
+    if not pd.api.types.is_numeric_dtype(df["Timestamp"]):
         df["Timestamp"] = (
-            pd.to_datetime(df["Timestamp"]).astype("int64") // 10**9)
+            # explicit [s] unit: pandas 3 parses to datetime64[us] by
+            # default, where astype(int64)//1e9 would yield milli-scale
+            # values and collapse day-boundary (temporal_daily) splits
+            pd.to_datetime(df["Timestamp"]).astype("datetime64[s]")
+            .astype("int64"))
 
     # log1p + min-max normalize float amount columns
     for col in ("Amount Received", "Amount Paid"):
