@@ -69,3 +69,20 @@ def test_eda_summarize(aml_csv):
     assert out["edge_columns"]["Payment Format"]["cardinality"] >= 2
     assert out["in_degree"]["mean"] > 0
     assert set(out["label_balance"]) == {0, 1}
+
+
+def test_eda_family_reports(tmp_path):
+    """Every notebook-parity family report generates a well-formed
+    markdown artifact (data/*.ipynb analyses as one command each)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import eda
+
+    # non-jit families are cheap; keep the materializing one (aml) light
+    for fam in ("eth", "hm", "musae"):
+        path = eda.main(["--family", fam, "--report",
+                         "--out", str(tmp_path)])
+        text = open(path).read()
+        assert text.startswith("#")
+        assert "EDA" in text and "```" in text
+        assert len(text) > 500
