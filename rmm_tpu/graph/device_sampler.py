@@ -244,7 +244,8 @@ def _expand_ranked(views, frontier, fmask, key, fanout: int, budget: int,
 def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
                 node_capacity, sent_node, sent_edge,
                 frontier_capacity: Optional[int] = None,
-                edge_budget: int = 0):
+                edge_budget: int = 0,
+                axis_name: Optional[str] = None, n_shards: int = 1):
     """Shared hop loop (rank-allocated expansion per hop).
 
     ``frontier_capacity`` sizes the inter-hop frontier buffer (defaults to
@@ -260,7 +261,22 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
     Returns (candidate edge ids, frontier-overflow count — distinct
     next-hop nodes that did not fit the frontier buffer, folded into
     ``num_node_dropped`` — and expansion-overflow count — candidate draws
-    beyond the per-hop budget, folded into ``num_dropped``)."""
+    beyond the per-hop budget, folded into ``num_dropped``).
+
+    GRAPH-PARTITION mode (``axis_name`` set, inside shard_map): ``dg``
+    holds one shard's LOCAL CSR view (edge-chunk sharding,
+    ``graph/sharded_csr.py`` — non-owned rows have degree 0, so the
+    ranked expansion allocates lanes only to owned rows), the frontier is
+    replicated, and each hop ``all_gather``s the fixed-size per-shard
+    candidate buffers over ICI (+psum of the overflow counter). The
+    frontier/node-set math below runs on the gathered — hence replicated
+    — arrays, so every shard computes identical frontiers without extra
+    collectives. Per-shard budgets get 2x slack over the balanced share
+    ``budget/n_shards``; imbalance beyond that truncates and is COUNTED,
+    never silent (exact-parity tests run in the no-truncation regime,
+    where the gathered candidate SET — and, because downstream dedup
+    sorts, the final batch — is bit-identical to the unsharded
+    sampler's)."""
     fcap = int(frontier_capacity) if frontier_capacity else int(node_capacity)
     views = [(dg.indptr, dg.nbr, dg.eid)]
     if dg.out_indptr is not None:
@@ -277,10 +293,17 @@ def _expand_all(dg: DeviceGraph, frontier, fmask, node_set, key, fanouts,
         # consumes — is capped at the edge budget.
         full = frontier.shape[0] * len(views) * int(fanout)
         budget = min(edge_budget, full) if h + 1 == len(fanouts) else full
+        if axis_name is not None:
+            # balanced share + 2x imbalance slack, never beyond `full`
+            budget = min(full, -(-2 * budget) // int(n_shards))
         key, kh = jax.random.split(key)
         eids, nbrs, ovf = _expand_ranked(views, frontier, fmask, kh,
                                          int(fanout), budget, sent_node,
                                          sent_edge)
+        if axis_name is not None:
+            eids = jax.lax.all_gather(eids, axis_name, tiled=True)
+            nbrs = jax.lax.all_gather(nbrs, axis_name, tiled=True)
+            ovf = jax.lax.psum(ovf, axis_name)
         cand_eids.append(eids)
         expand_overflow = expand_overflow + ovf
         if h + 1 < len(fanouts):
@@ -375,6 +398,8 @@ def sample_nodes_device(
     edge_capacity: int,
     node_capacity: int,
     frontier_capacity: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    n_shards: int = 1,
 ):
     """In-jit node-seeded k-hop sampling.
 
@@ -394,7 +419,8 @@ def sample_nodes_device(
     cand, f_overflow, x_overflow = _expand_all(
         dg, seed_nodes, seed_mask, node_set, key, fanouts, node_capacity,
         sent_node, sent_edge, frontier_capacity,
-        edge_budget=int(edge_capacity) * slack)
+        edge_budget=int(edge_capacity) * slack,
+        axis_name=axis_name, n_shards=n_shards)
 
     cand, overflow = _compact(cand, int(edge_capacity) * slack, sent_edge)
     uniq, distinct = _unique_count(cand, int(edge_capacity), sent_edge)
@@ -465,6 +491,8 @@ def sample_edges_device(
     edge_capacity: int,
     node_capacity: int,
     frontier_capacity: Optional[int] = None,
+    axis_name: Optional[str] = None,
+    n_shards: int = 1,
 ):
     """In-jit edge-seeded k-hop sampling.
 
@@ -490,7 +518,8 @@ def sample_edges_device(
     cand, f_overflow, x_overflow = _expand_all(
         dg, frontier, fmask, node_set, key, fanouts, node_capacity,
         sent_node, sent_edge, frontier_capacity,
-        edge_budget=int(edge_capacity) * slack)
+        edge_budget=int(edge_capacity) * slack,
+        axis_name=axis_name, n_shards=n_shards)
     # drop candidates that are seed edges (seed lanes already carry them)
     seed_sorted = jnp.sort(seed_eid)
     cand = jnp.where(_isin_sorted(seed_sorted, cand), sent_edge, cand)

@@ -16,5 +16,6 @@ from .tensor_parallel import (  # noqa: F401
     make_dp_tp_train_step,
     shard_table,
 )
+from .graph_parallel import make_dp_gp_train_step  # noqa: F401
 from .prefetch import Prefetcher  # noqa: F401
 from .distributed import maybe_init_distributed, global_batch_slice  # noqa: F401

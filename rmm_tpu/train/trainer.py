@@ -211,8 +211,13 @@ class Trainer:
                     y=by[:, :-3].astype(np.float32),
                     seed_mask=mask, sampler_seed=s)
 
-    def _materialize_dev(self, sb: SeedBatch, dgraph: DeviceGraph):
-        """In-jit: sample the k-hop subgraph around the seeds."""
+    def _materialize_dev(self, sb: SeedBatch, dgraph: DeviceGraph,
+                         axis_name=None, n_shards: int = 1):
+        """In-jit: sample the k-hop subgraph around the seeds.
+
+        ``axis_name``/``n_shards`` turn on graph-partition mode (the CSR
+        edge payload is chunk-sharded over a mesh axis and ``dgraph`` is
+        this device's local view — ``graph/sharded_csr.py``)."""
         cfg = self.cfg
         key = jax.random.PRNGKey(sb.sampler_seed)
         if "node" in cfg.task:
@@ -221,12 +226,14 @@ class Trainer:
             out = sample_nodes_device(
                 dgraph, sb.seeds[:, 0], smask, key, cfg.num_neighs,
                 cfg.edge_capacity, cfg.node_capacity,
-                cfg.frontier_capacity or None)
+                cfg.frontier_capacity or None,
+                axis_name=axis_name, n_shards=n_shards)
         else:
             out = sample_edges_device(
                 dgraph, sb.seeds, sb.seed_mask, key, cfg.num_neighs,
                 cfg.edge_capacity, cfg.node_capacity,
-                cfg.frontier_capacity or None)
+                cfg.frontier_capacity or None,
+                axis_name=axis_name, n_shards=n_shards)
         seed_mask = sb.seed_mask
         if "node" not in cfg.task:
             # node-capacity overflow can evict a seed edge's endpoint,
