@@ -119,6 +119,50 @@ def test_sharded_sampling_bit_identical_to_replicated(setup):
                                       np.asarray(ref[k]), err_msg=k)
 
 
+def test_sharded_node_seeded_sampling_bit_identical(setup):
+    """Node-seeded k-hop sampling (the node-classification path) through
+    the sharded CSR matches the replicated sampler bit for bit."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from rmm_tpu.graph.device_sampler import sample_nodes_device
+    from rmm_tpu.graph.sharded_csr import ShardedDeviceGraph
+    from rmm_tpu.parallel.data_parallel import _shmap
+
+    cfg, ds = setup
+    trainer = Trainer(cfg, ds)
+    dg = trainer._dgraph("train")
+    D = 8
+    sdg = ShardedDeviceGraph.from_device_graph(dg, D)
+    mesh = make_mesh(D, axes=("graph",))
+    parts, g_specs = sdg.shard_parts("graph")
+
+    rng = np.random.default_rng(3)
+    seeds = np.sort(rng.choice(dg.num_nodes, size=24, replace=False)
+                    ).astype(np.int32)
+    mask = np.ones(24, bool)
+    mask[-2:] = False
+    key = jax.random.PRNGKey(11)
+
+    ref = sample_nodes_device(dg, seeds, mask, key, cfg.num_neighs,
+                              cfg.edge_capacity, cfg.node_capacity)
+
+    def body(seeds, mask, parts):
+        local = ShardedDeviceGraph.local_device_graph(parts)
+        out = sample_nodes_device(
+            local, seeds, mask, key, cfg.num_neighs,
+            cfg.edge_capacity, cfg.node_capacity,
+            axis_name="graph", n_shards=D)
+        return tuple(out[k] for k in sorted(out))
+
+    fn = _shmap(body, mesh=mesh, in_specs=(P(), P(), g_specs),
+                out_specs=tuple(P() for _ in range(7)))
+    got = dict(zip(sorted(ref), jax.jit(fn)(seeds, mask, parts)))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
 def test_dp_gp_train_step_matches_dp_device(setup):
     """One (data=2 × graph=4) train step equals the pure-DP device-sampler
     step on the same two seed batches: identical loss and parameters —
