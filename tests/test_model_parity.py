@@ -6,10 +6,14 @@ where the encoder output is split. This module rebuilds the reference's
 composed models in pure torch, exactly as ``/root/reference/utils.py``
 wires them:
 
+* ``TT`` (FTTransformer)       — ``utils.py:73-109`` + ``src/nn/models/ft_transformer.py:90-138``
 * ``GNN`` (PNAS backbone)      — ``utils.py:111-233`` + ``src/nn/gnn/pna.py:48-101``
 * ``TABGNNS`` (TABGNN)         — ``utils.py:235-328`` + ``src/nn/models/tabgnn.py:100-151``
+* ``TABGNNS`` (TABGNNInterleaved) — ``utils.py:307-321`` + ``src/nn/models/inteleaved.py``
 * ``TABGNNFusedS`` (TABGNNFused) — ``utils.py:330-405`` + ``src/nn/models/fused.py:144-268``
   (both the lp=False fuse/pool view and the lp=True view)
+
+All five task-model families the reference instantiates are covered.
 
 then copies every torch weight into the flax task wrappers and asserts
 output equality on a fixed subgraph batch.
@@ -679,3 +683,180 @@ def test_tabgnnfused_lp_view_parity():
     for o, r, name in zip(out, (rx, rea, rt), ("x_gnn", "edge", "target")):
         np.testing.assert_allclose(np.asarray(o), t2n(r), rtol=1e-3,
                                    atol=1e-4, err_msg=name)
+
+
+# ------------------------------------------------------------- family: TT
+
+
+class TorchFTTBackbone(torch.nn.Module):
+    """torch-frame ``FTTransformerConvs`` surface as the reference wraps it
+    (``src/nn/models/ft_transformer.py:90-92,126-138``): CLS prepend →
+    ``num_layers`` × ``torch.nn.TransformerEncoderLayer`` (batch_first,
+    dim_feedforward=channels, post-norm defaults — the convention every
+    other tabular block in the reference uses, e.g. ``inteleaved.py:80-89``;
+    the fork submodule is not checked out, so post-norm is pinned here as
+    the documented contract) → final LayerNorm → split (tokens, CLS)."""
+
+    def __init__(self):
+        super().__init__()
+        self.cls = torch.nn.Parameter(torch.randn(C) * 0.01)
+        self.layers = torch.nn.ModuleList([new_tel() for _ in range(NL)])
+        self.final_norm = torch.nn.LayerNorm(C)
+
+    def forward(self, tok):
+        x = torch.cat([self.cls.repeat(tok.shape[0], 1, 1), tok], dim=1)
+        for layer in self.layers:
+            x = layer(x)
+        x = self.final_norm(x)
+        return x[:, 1:], x[:, 0]
+
+
+def test_tt_fttransformer_forward_parity():
+    """Full TT wrapper (``utils.py:73-109``, model='fttransformer'): ONE
+    shared FTTransformer applied to the node AND edge tables, ClassifierHead
+    on (x_cls, seed edge_index, e_cls)."""
+    from rmm_tpu.train.task_models import TT
+
+    edge_index, node_num, node_cat, edge_num, edge_cat, _ = fixture()
+    batch = make_batch(edge_index)
+    edge_tf, node_tf = make_tables(node_num, node_cat, edge_num, edge_cat)
+    node_enc, edge_enc = make_flax_encoders()
+
+    torch.manual_seed(5)
+    t_node_enc = TorchStypeEncoder(1, NODE_CARDS, NODE_MEANS, NODE_STDS)
+    t_edge_enc = TorchStypeEncoder(2, EDGE_CARDS, EDGE_MEANS, EDGE_STDS)
+    t_model = TorchFTTBackbone()
+    t_head = TorchClassifier()
+    for m in (t_node_enc, t_edge_enc, t_model, t_head):
+        m.eval()
+
+    with torch.no_grad():
+        x_tok = t_node_enc(torch.tensor(node_num), torch.tensor(node_cat))
+        e_tok = t_edge_enc(torch.tensor(edge_num), torch.tensor(edge_cat))
+        _, x_cls = t_model(x_tok)
+        _, e_cls = t_model(e_tok)           # shared weights (utils.py:84-86)
+        ref = t2n(t_head(x_cls, edge_index[:, :B], e_cls[:B]))
+
+    wrap = TT(node_encoder=node_enc, edge_encoder=edge_enc, channels=C,
+              num_layers=NL, n_classes=2, dropout=0.0)
+    variables = wrap.init(jax.random.PRNGKey(0), edge_tf, node_tf, batch)
+
+    backbone = {"cls_token": {"cls": jnp.asarray(t2n(t_model.cls))},
+                "final_norm": ln_params(t_model.final_norm)}
+    for i in range(NL):
+        backbone[f"layer_{i}"] = tel_params(t_model.layers[i])
+    params = {"node_encoder": enc_params(t_node_enc),
+              "edge_encoder": enc_params(t_edge_enc),
+              "model": {"backbone": backbone},
+              "decoder": head_params(t_head)}
+
+    assert_same_structure(variables["params"], params, "TT params")
+    out = wrap.apply({"params": params}, edge_tf, node_tf, batch, False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=2e-5)
+
+
+# ---------------------------------------------- family: TABGNNInterleaved
+
+
+class TorchInterleavedLayer(torch.nn.Module):
+    """``FTTransformerPNAInterleavedLayer.forward`` (``inteleaved.py``,
+    layer class): half-LN-term column attention on the edge sequence, PNA
+    over the CLS state, halved node/edge residuals."""
+
+    def __init__(self, avg_log_deg):
+        super().__init__()
+        self.tab_conv = new_tel()
+        self.tab_norm = torch.nn.LayerNorm(C)
+        self.gnn_conv = TorchPNAConv(TAB_ORDER, avg_log_deg)
+        self.gnn_norm = randomized_bn()
+        self.emlp = TorchEdgeMLP()
+
+    def forward(self, x_gnn, edge_index, edge_attr):
+        edge_attr = edge_attr + self.tab_norm(self.tab_conv(edge_attr)) / 2
+        ea_cls, ea_feat = edge_attr[:, 0, :], edge_attr[:, 1:, :]
+        x_gnn = (x_gnn + self.gnn_norm(
+            self.gnn_conv(x_gnn, edge_index, ea_cls)).relu()) / 2
+        ea_cls = (ea_cls + self.emlp(x_gnn, edge_index, ea_cls)) / 2
+        edge_attr = torch.cat([ea_cls.unsqueeze(1), ea_feat], dim=1)
+        return x_gnn, edge_attr
+
+
+class TorchTABGNNInterleaved(torch.nn.Module):
+    """``TABGNNInterleaved.forward`` (``inteleaved.py``): node Dense emb,
+    CLS prepend + whole-sum-halved initial column layer, interleaved stack,
+    final ``(e_attr + edge_attr) / 2`` and CLS extraction."""
+
+    def __init__(self, avg_log_deg):
+        super().__init__()
+        n_node_cols = 2
+        self.node_emb = torch.nn.Linear(n_node_cols * C, C)
+        self.cls = torch.nn.Parameter(torch.randn(C) * 0.01)
+        self.tab_conv = new_tel()
+        self.tab_norm = torch.nn.LayerNorm(C)
+        self.layers = torch.nn.ModuleList(
+            [TorchInterleavedLayer(avg_log_deg) for _ in range(NL)])
+
+    def forward(self, x_tok, edge_index, e_tok):
+        x_gnn = self.node_emb(x_tok.reshape(x_tok.shape[0], -1))
+        ea = torch.cat([self.cls.repeat(e_tok.shape[0], 1, 1), e_tok], dim=1)
+        ea = (ea + self.tab_norm(self.tab_conv(ea))) / 2
+        e_attr = ea
+        for layer in self.layers:
+            x_gnn, e_attr = layer(x_gnn, edge_index, e_attr)
+        ea = (e_attr + ea) / 2
+        return x_gnn, ea[:, 0, :]
+
+
+def test_tabgnninterleaved_forward_parity():
+    """Full TABGNNS wrapper dispatching model='tabgnninterleaved'
+    (``utils.py:307-321`` + ``inteleaved.py``)."""
+    edge_index, node_num, node_cat, edge_num, edge_cat, ald = fixture()
+    batch = make_batch(edge_index)
+    edge_tf, node_tf = make_tables(node_num, node_cat, edge_num, edge_cat)
+    node_enc, edge_enc = make_flax_encoders()
+
+    torch.manual_seed(6)
+    t_node_enc = TorchStypeEncoder(1, NODE_CARDS, NODE_MEANS, NODE_STDS)
+    t_edge_enc = TorchStypeEncoder(2, EDGE_CARDS, EDGE_MEANS, EDGE_STDS)
+    t_model = TorchTABGNNInterleaved(ald)
+    t_head = TorchClassifier()
+    for m in (t_node_enc, t_edge_enc, t_model, t_head):
+        m.eval()
+
+    with torch.no_grad():
+        x_tok = t_node_enc(torch.tensor(node_num), torch.tensor(node_cat))
+        e_tok = t_edge_enc(torch.tensor(edge_num), torch.tensor(edge_cat))
+        x, ea = t_model(x_tok, edge_index, e_tok)
+        ref = t2n(t_head(x, edge_index[:, :B], ea[:B]))
+
+    wrap = TABGNNS(node_encoder=node_enc, edge_encoder=edge_enc,
+                   model_name="tabgnninterleaved", channels=C,
+                   n_gnn_layers=NL, n_classes=2, dropout=0.0,
+                   avg_log_deg=ald)
+    variables = wrap.init(jax.random.PRNGKey(0), edge_tf, node_tf, batch)
+
+    model_p = {"node_emb": lin_params(t_model.node_emb),
+               "cls_embedding": {"cls": jnp.asarray(t2n(t_model.cls))},
+               "tab_conv": tel_params(t_model.tab_conv),
+               "tab_norm": ln_params(t_model.tab_norm)}
+    stats = {"model": {}}
+    for i, tl in enumerate(t_model.layers):
+        bp, bs = bn_params(tl.gnn_norm)
+        model_p[f"layer_{i}"] = {
+            "tab_conv": tel_params(tl.tab_conv),
+            "tab_norm": ln_params(tl.tab_norm),
+            "gnn_conv": pna_params(tl.gnn_conv),
+            "gnn_norm": bp,
+            "gnn_edge_update": emlp_params(tl.emlp)}
+        stats["model"][f"layer_{i}"] = {"gnn_norm": bs}
+    params = {"node_encoder": enc_params(t_node_enc),
+              "edge_encoder": enc_params(t_edge_enc),
+              "model": model_p,
+              "decoder": head_params(t_head)}
+
+    assert_same_structure(variables["params"], params, "interleaved params")
+    assert_same_structure(variables["batch_stats"], stats,
+                          "interleaved stats")
+    out = wrap.apply({"params": params, "batch_stats": stats},
+                     edge_tf, node_tf, batch, False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=2e-5)
