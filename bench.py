@@ -15,7 +15,13 @@ Three measurements (all reported in the single JSON line):
                        + prefetch + scan dispatch), wall clock;
   * ``fwd_rows_per_sec``     — the round-1 encode+forward metric, kept for
                        continuity;
-  * ``mfu``          — model FLOPs (XLA cost analysis) / step time / peak.
+  * ``mfu``          — model FLOPs (XLA cost analysis) / step time / peak;
+  * ``sol_frac``     — speed-of-light fraction: max(flops/peak_flops,
+                       bytes/hbm_bw) / measured step time (docs/PERF.md);
+  * ``ssl_*``        — the same at the MXU-bound SSL config of record
+                       (C=128, bf16, scan_layers, Pallas attention);
+  * ``device_sampler_*`` — the in-jit HBM-CSR sampler A/B recorded by the
+                       same invocation (the --sampler auto flip decision).
 
 ``vs_baseline`` is the train-step speedup over the same jitted program on
 one CPU host (the reference's CPU baseline; north star ≥10×).
@@ -40,7 +46,7 @@ except Exception:
     pass
 
 ROWS = int(os.environ.get("BENCH_ROWS", 1 << 17))  # synthetic AML rows
-FWD_BATCH = 8192
+FWD_BATCH = min(8192, ROWS)   # clamp for small BENCH_ROWS smoke runs
 FWD_CHANNELS = 128      # SSL config of record (fused.py:626-630)
 FWD_LAYERS = 3
 # scan steps per dispatch (the sort segment backend is the default on all
@@ -48,6 +54,21 @@ FWD_LAYERS = 3
 # TPU compiler was bisected and replaced, see rmm_tpu/ops/segment.py)
 TRAIN_K = int(os.environ.get("BENCH_TRAIN_K", 8))
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+HBM_BW = float(os.environ.get("BENCH_HBM_BW", 819e9))           # v5e B/s
+
+
+def _perf_from_cost(cost, step_time: float):
+    """Roofline context from XLA cost analysis: MFU plus the speed-of-light
+    step time max(flops/peak, bytes/bw) as a fraction of the measured step
+    (1.0 = at the roofline; small = overhead/latency-bound)."""
+    if not cost or "flops" not in cost:
+        return None
+    flops = float(cost["flops"])
+    bytes_ = float(cost.get("bytes accessed", 0.0))
+    sol = max(flops / PEAK_FLOPS, bytes_ / HBM_BW)
+    return {"mfu": flops / step_time / PEAK_FLOPS,
+            "sol_frac": (sol / step_time) if sol > 0 else None,
+            "flops_per_step": flops, "bytes_per_step": bytes_}
 
 
 def time_of(fn) -> float:
@@ -138,7 +159,7 @@ def measure_fwd(iters: int = 200, rows: int = ROWS) -> float:
 # encode+train (the north-star metric)
 # ---------------------------------------------------------------------------
 
-def build_trainer(rows: int):
+def build_trainer(rows: int, sampler: str | None = None):
     import tempfile
 
     from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
@@ -155,19 +176,21 @@ def build_trainer(rows: int):
                  n_hidden=32, n_gnn_layers=2,
                  num_neighs=(100, 100), steps_per_dispatch=TRAIN_K,
                  sampler_threads=4, epochs=1, testing=True,
-                 sampler=os.environ.get("BENCH_SAMPLER", "auto"))
+                 sampler=sampler
+                 or os.environ.get("BENCH_SAMPLER", "auto"))
     ds = IBMTransactionsAML(root=csv, khop_neighbors=cfg.num_neighs,
                             channels=cfg.n_hidden)
     return cfg, ds, Trainer(cfg, ds)
 
 
-def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
+def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True,
+                  sampler: str | None = None):
     """Returns (device_rows_per_sec, sampler_rows_per_sec, e2e_rows_per_sec,
-    mfu_or_None)."""
+    perf_dict_or_None) — perf_dict per :func:`_perf_from_cost`."""
     import jax
     import numpy as np
 
-    cfg, ds, tr = build_trainer(rows)
+    cfg, ds, tr = build_trainer(rows, sampler=sampler)
     view = ds.edges.split()[0]
 
     # --- host sampler throughput (kept as its own metric) -----------------
@@ -207,7 +230,7 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
             jax.block_until_ready(stacked.edge_gather)
         return stacked
 
-    mfu = None
+    perf = None
     if k == 1:
         # single-step program (no scan): time N pipelined dispatches,
         # force only the LAST output — device-queue ordering guarantees
@@ -237,8 +260,7 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
             cost = tr._train_step.lower(
                 tr.variables, tr.opt_state, b0, rng, tr.edge_table,
                 tr.node_table).compile().cost_analysis()
-            if cost and "flops" in cost:
-                mfu = float(cost["flops"]) / step_time / PEAK_FLOPS
+            perf = _perf_from_cost(cost, step_time)
         except Exception:
             pass
     else:
@@ -265,7 +287,12 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
                 tr.variables, tr.opt_state, sk, rngs, real, tr.edge_table,
                 tr.node_table).compile().cost_analysis()
             if cost and "flops" in cost:
-                mfu = (float(cost["flops"]) / k) / step_time / PEAK_FLOPS
+                cost = dict(cost)
+                cost["flops"] = float(cost["flops"]) / k
+                if "bytes accessed" in cost:
+                    cost["bytes accessed"] = (
+                        float(cost["bytes accessed"]) / k)
+                perf = _perf_from_cost(cost, step_time)
         except Exception:
             pass
 
@@ -275,7 +302,7 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
         rec = tr.train_epoch(view, epoch=1)
         n_rows = view.tensor_frame.num_rows
         e2e_rps = n_rows / rec["sec"]
-    return device_rps, sampler_rps, e2e_rps, mfu
+    return device_rps, sampler_rps, e2e_rps, perf
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +312,7 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True):
 def measure_ssl_train(rows: int = ROWS):
     """Joint mcm-lp pretrain step at the SSL config of record
     (``fused.py:626-630``: batch 200, channels 128, 3 layers, 64 negative
-    samples) under --precision bf16. Returns (rows_per_sec, mfu) — the
+    samples) under --precision bf16. Returns (rows_per_sec, perf_dict) — the
     shape where the Pallas column-attention kernel runs (head_dim=16) and
     the MXU actually gets fed, unlike the 74k-param supervised config."""
     import tempfile
@@ -328,16 +355,15 @@ def measure_ssl_train(rows: int = ROWS):
         jax.device_get(outs[-1][4])
         best = min(best, time.perf_counter() - t0)
     step_time = best / reps
-    mfu = None
+    perf = None
     try:
         cost = tr._train_step.lower(
             tr.params, tr.batch_stats, tr.opt_state, tr.moco_state, gb,
             rng, tr.edge_table).compile().cost_analysis()
-        if cost and "flops" in cost:
-            mfu = float(cost["flops"]) / step_time / PEAK_FLOPS
+        perf = _perf_from_cost(cost, step_time)
     except Exception:
         pass
-    return cfg.batch_size / step_time, mfu
+    return cfg.batch_size / step_time, perf
 
 
 def _probe_device(timeout_s: int = 120) -> bool:
@@ -392,18 +418,35 @@ def main():
         }))
         return
 
-    device_rps, sampler_rps, e2e_rps, mfu = measure_train()
+    device_rps, sampler_rps, e2e_rps, perf = measure_train()
     print(f"train-step rows/sec: {device_rps:,.0f}  sampler: "
-          f"{sampler_rps:,.0f}  e2e: {e2e_rps:,.0f}  mfu: {mfu}",
+          f"{sampler_rps:,.0f}  e2e: {e2e_rps:,.0f}  perf: {perf}",
           file=sys.stderr)
     fwd_rps = measure_fwd()
     print(f"encode+forward rows/sec: {fwd_rps:,.0f}", file=sys.stderr)
 
-    ssl_rps = ssl_mfu = None
+    # --- device-sampler A/B (the --sampler auto flip decision) -----------
+    # The default run above resolves `auto` (host path today); measure the
+    # in-jit HBM-CSR sampler end-to-end as well so a single driver
+    # invocation records the A/B that decides the auto default
+    # (graph/device_sampler.py:113-123). Skipped when BENCH_SAMPLER pins a
+    # path explicitly (the watcher's dedicated A/B runs).
+    dev_train_rps = dev_e2e_rps = None
+    if not os.environ.get("BENCH_SAMPLER"):
+        try:
+            dev_train_rps, _, dev_e2e_rps, _ = measure_train(
+                sampler="device")
+            print(f"device-sampler path: train-step rows/sec "
+                  f"{dev_train_rps:,.0f}  e2e {dev_e2e_rps:,.0f}",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"device-sampler A/B failed: {e}", file=sys.stderr)
+
+    ssl_rps = ssl_perf = None
     try:
-        ssl_rps, ssl_mfu = measure_ssl_train()
+        ssl_rps, ssl_perf = measure_ssl_train()
         print(f"ssl (C=128, bf16, scan) train rows/sec: {ssl_rps:,.0f} "
-              f"mfu: {ssl_mfu}", file=sys.stderr)
+              f"perf: {ssl_perf}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"ssl bench failed: {e}", file=sys.stderr)
         # the C=128 step is the only path where the Pallas attention
@@ -412,9 +455,9 @@ def main():
         # measure_ssl_train builds a fresh trainer)
         try:
             os.environ["RMM_DISABLE_PALLAS"] = "1"
-            ssl_rps, ssl_mfu = measure_ssl_train()
+            ssl_rps, ssl_perf = measure_ssl_train()
             print(f"ssl (C=128, bf16, scan, NO-pallas) train rows/sec: "
-                  f"{ssl_rps:,.0f} mfu: {ssl_mfu}", file=sys.stderr)
+                  f"{ssl_rps:,.0f} perf: {ssl_perf}", file=sys.stderr)
         except Exception as e2:
             print(f"ssl bench failed (no-pallas retry): {e2}",
                   file=sys.stderr)
@@ -446,10 +489,18 @@ def main():
         "sampler_rows_per_sec": round(sampler_rps, 1),
         "e2e_rows_per_sec": round(e2e_rps, 1),
         "fwd_rows_per_sec": round(fwd_rps, 1),
-        "mfu": round(mfu, 4) if mfu is not None else None,
+        "mfu": (round(perf["mfu"], 4) if perf else None),
+        "sol_frac": (round(perf["sol_frac"], 4)
+                     if perf and perf.get("sol_frac") else None),
         "ssl_train_rows_per_sec": (round(ssl_rps, 1)
                                    if ssl_rps is not None else None),
-        "ssl_mfu": round(ssl_mfu, 4) if ssl_mfu is not None else None,
+        "ssl_mfu": (round(ssl_perf["mfu"], 4) if ssl_perf else None),
+        "ssl_sol_frac": (round(ssl_perf["sol_frac"], 4)
+                         if ssl_perf and ssl_perf.get("sol_frac") else None),
+        "device_sampler_train_rows_per_sec": (
+            round(dev_train_rps, 1) if dev_train_rps is not None else None),
+        "device_sampler_e2e_rows_per_sec": (
+            round(dev_e2e_rps, 1) if dev_e2e_rps is not None else None),
         "platform": ("cpu-FALLBACK-tunnel-down" if FELL_BACK_TO_CPU else None),
     }))
 

@@ -1,0 +1,25 @@
+"""Unit coverage for bench.py's pure helpers (the measurement harness
+itself runs on the driver/watcher; these pin the roofline arithmetic)."""
+import bench
+
+
+def test_perf_from_cost_roofline_fields():
+    # 1e9 flops, 1e8 bytes, 10 ms step on v5e peaks (197 TF, 819 GB/s):
+    # bandwidth term dominates the speed-of-light time
+    p = bench._perf_from_cost({"flops": 1e9, "bytes accessed": 1e8}, 0.01)
+    assert abs(p["mfu"] - 1e9 / 0.01 / bench.PEAK_FLOPS) < 1e-12
+    sol = max(1e9 / bench.PEAK_FLOPS, 1e8 / bench.HBM_BW)
+    assert abs(p["sol_frac"] - sol / 0.01) < 1e-12
+    assert p["bytes_per_step"] == 1e8
+
+
+def test_perf_from_cost_degenerate_inputs():
+    assert bench._perf_from_cost(None, 0.01) is None
+    assert bench._perf_from_cost({}, 0.01) is None
+    p = bench._perf_from_cost({"flops": 0.0}, 0.01)
+    assert p["mfu"] == 0.0 and p["sol_frac"] is None
+
+
+def test_fwd_batch_clamped_to_rows():
+    # BENCH_ROWS smaller than the serving batch must not index OOB
+    assert bench.FWD_BATCH <= max(bench.ROWS, 8192)
