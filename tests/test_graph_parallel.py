@@ -209,3 +209,65 @@ def test_dp_gp_train_step_matches_dp_device(setup):
                     jax.tree_util.tree_leaves(v2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_dp_gp_multi_step_epoch_matches_dp_device(setup):
+    """Epoch-level evidence for the DP×GP composition: THREE sequential
+    dispatches (the last one ragged — real=[True, False]) evolve the
+    parameters identically to the pure-DP device-sampler path. Extends the
+    one-step equality above through optimizer state and ragged-group
+    handling."""
+    import jax
+    from rmm_tpu.graph.sharded_csr import ShardedDeviceGraph
+    from rmm_tpu.parallel import (
+        make_dp_device_train_step, make_dp_gp_train_step)
+
+    cfg, ds = setup
+    trainer = Trainer(cfg, ds)
+    dg = trainer._dgraph("train")
+    tr_view = ds.edges.split()[0]
+    sbs = []
+    for sb in trainer._seed_batches(tr_view, "train"):
+        sbs.append(sb)
+        if len(sbs) >= 5:
+            break
+    # groups of 2 per dispatch; final group padded with a copy → ragged
+    groups = [(sbs[0:2], [True, True]),
+              (sbs[2:4], [True, True]),
+              ([sbs[4], sbs[4]], [True, False])]
+
+    mesh_dp = make_mesh(2, axes=("data",))
+    step_dp = make_dp_device_train_step(
+        trainer.model, trainer.tx, trainer._loss_from_pred,
+        trainer._materialize_dev, mesh_dp)
+
+    mesh_gp = make_mesh(8, axes=("data", "graph"), shape=(2, 4))
+    sdg = ShardedDeviceGraph.from_device_graph(dg, 4)
+    parts, _ = sdg.shard_parts("graph")
+    step_gp = make_dp_gp_train_step(
+        trainer.model, trainer.tx, trainer._loss_from_pred,
+        trainer._materialize_dev, mesh_gp, sdg)
+
+    v1, o1 = trainer.variables, trainer.opt_state
+    v2, o2 = trainer.variables, trainer.opt_state
+    losses1, losses2 = [], []
+    for i, (grp, real) in enumerate(groups):
+        stacked = stack_batches(grp)
+        rngs = jax.random.split(jax.random.PRNGKey(100 + i), 2)
+        real = np.asarray(real, dtype=bool)
+        v1, o1, l1, d1, _ = step_dp(
+            v1, o1, shard_batch(mesh_dp, stacked), rngs, real,
+            trainer.edge_table, trainer.node_table, dg)
+        v2, o2, l2, d2, _ = step_gp(
+            v2, o2, shard_batch(mesh_gp, stacked), rngs, real,
+            trainer.edge_table, trainer.node_table, parts)
+        assert int(np.asarray(d1).sum()) == 0
+        assert int(np.asarray(d2).sum()) == 0
+        losses1.append(float(l1))
+        losses2.append(float(l2))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
