@@ -590,7 +590,9 @@ class PretrainTrainer:
         from ..utils.checkpoint import save_checkpoint, save_pytree
 
         ck = save_checkpoint(run_dir, epoch, self._ckpt_variables(),
-                             self.opt_state if with_opt else None, None)
+                             self.opt_state if with_opt else None, None,
+                             backend=getattr(self.cfg, "ckpt_backend",
+                                             "msgpack"))
         if best is not None:
             import json
             import os
@@ -600,7 +602,8 @@ class PretrainTrainer:
         if self.moco_state is not None and with_opt:
             import os
 
-            save_pytree(os.path.join(ck, "moco_state"), self.moco_state)
+            save_pytree(os.path.join(ck, "moco_state"), self.moco_state,
+                        getattr(self.cfg, "ckpt_backend", "msgpack"))
         return ck
 
     def restore(self, ck_dir: str, with_opt: bool = True) -> dict:
@@ -676,4 +679,6 @@ class PretrainTrainer:
                     self.save(run_dir, f"best_{'acc' if k == 'accuracy' else k}",
                               best, with_opt=False)
             history.append(rec)
+        from ..utils.checkpoint import wait_for_saves
+        wait_for_saves()
         return history, best

@@ -156,7 +156,9 @@ class TabularMCMTrainer:
             "head": self.params["head"]["params"],
         }}
         ck = save_checkpoint(run_dir, epoch, variables,
-                             self.opt_state if with_opt else None, None)
+                             self.opt_state if with_opt else None, None,
+                             backend=getattr(self.cfg, "ckpt_backend",
+                                             "msgpack"))
         if best is not None:
             import json
             import os

@@ -701,10 +701,14 @@ class Trainer:
             if run_logger is not None:
                 run_logger.log(rec, step=epoch)
             if run_dir is not None:
+                backend = getattr(cfg, "ckpt_backend", "msgpack")
                 save_checkpoint(run_dir, epoch, self.variables,
-                                self.opt_state, best_m)
+                                self.opt_state, best_m, backend=backend)
                 if improved and cfg.save_model:
                     save_checkpoint(run_dir, -1, self.variables, None,
-                                    best_m, prune_previous=False)
+                                    best_m, prune_previous=False,
+                                    backend=backend)
             history.append(rec)
+        from ..utils.checkpoint import wait_for_saves
+        wait_for_saves()
         return history, best_m

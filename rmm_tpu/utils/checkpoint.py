@@ -32,9 +32,52 @@ COMPONENTS = ("node_encoder", "edge_encoder", "model", "decoder")
 CKPT_FORMAT = 2
 
 
-def save_pytree(path: str, tree: Any) -> None:
+def save_pytree(path: str, tree: Any, backend: str = "msgpack") -> None:
+    if backend == "orbax":
+        _orbax_save(path, tree)
+        return
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(tree)))
+
+
+# --------------------------------------------------------------- orbax
+# Optional TPU-ecosystem backend (SURVEY §7.6 named orbax): components are
+# written as orbax PyTree directories through ONE shared AsyncCheckpointer,
+# so epoch-end saves overlap the next epoch's compute instead of blocking
+# the host on serialization+fsync. The on-disk layout (one entry per
+# component under <run>/<epoch>/) and every load path are unchanged —
+# ``load_pytree`` auto-detects a directory entry as orbax, so msgpack and
+# orbax checkpoints interoperate (resume/transfer across backends works).
+
+_ASYNC_CKPTR = None
+
+
+def _orbax_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def _orbax_save(path: str, tree: Any) -> None:
+    # save the STATE DICT (plain nested dict of arrays) so restore yields
+    # the same shape msgpack_restore does and the loose-merge/layout
+    # conversion machinery applies identically
+    state = serialization.to_state_dict(jax.device_get(tree))
+    _orbax_ckptr().save(os.path.abspath(path), state, force=True)
+
+
+def _orbax_restore(path: str) -> Any:
+    return _orbax_ckptr().restore(os.path.abspath(path))
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async (orbax) save has committed.
+    Call before process exit or before reading a just-written checkpoint."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def _merge_loose(template: Any, loaded: Any, path: str = "",
@@ -110,12 +153,21 @@ def load_pytree(path: str, template: Any, strict: bool = True,
     trained at another ``--n_hidden``) — keep their fresh init. Every
     such leaf is logged; ``on_mismatch="raise"`` turns any into a
     ValueError — used by resume/predict paths where a partial load means
-    the model would run on random weights (advisor r3 finding #1)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    if strict:
-        return serialization.from_bytes(template, data)
-    state = serialization.msgpack_restore(data)
+    the model would run on random weights (advisor r3 finding #1).
+
+    A directory entry is an orbax component (``save_pytree`` backend
+    "orbax"); a file is flax msgpack — both restore to the same state
+    dict, so either backend loads into either model."""
+    if os.path.isdir(path):
+        state = _orbax_restore(path)
+        if strict:
+            return serialization.from_state_dict(template, state)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        if strict:
+            return serialization.from_bytes(template, data)
+        state = serialization.msgpack_restore(data)
     tstate = serialization.to_state_dict(template)
     state = _convert_scan_layout(state, tstate)
     failures: list = []
@@ -139,7 +191,8 @@ def load_pytree(path: str, template: Any, strict: bool = True,
 
 def save_checkpoint(run_dir: str, epoch, variables: dict,
                     opt_state: Any = None, best_m: Any = None,
-                    prune_previous: bool = True) -> str:
+                    prune_previous: bool = True,
+                    backend: str = "msgpack") -> str:
     """variables: {"params": ..., "batch_stats": ...} from the task wrapper.
 
     Components are split by top-level module name so encoders/backbone/head
@@ -147,6 +200,10 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
     trainers' best-metric exports ``best_acc``/``best_rmse``/``best_mrr``,
     mirroring the reference's ``<id>_acc/_rmse/_mrr.pth`` files,
     ``fused.py:737-754``); pruning only applies to integer epochs.
+
+    ``backend="orbax"`` writes components as orbax directories through a
+    shared AsyncCheckpointer (non-blocking; call :func:`wait_for_saves`
+    before exit). Either backend restores through the same load paths.
     """
     ck = os.path.join(run_dir, str(epoch))
     if not isinstance(epoch, int):
@@ -154,12 +211,12 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
     os.makedirs(ck, exist_ok=True)
     params = variables["params"]
     for comp in params:
-        save_pytree(os.path.join(ck, comp), params[comp])
+        save_pytree(os.path.join(ck, comp), params[comp], backend)
     extras = {k: v for k, v in variables.items() if k != "params"}
     if extras:
-        save_pytree(os.path.join(ck, "extras"), extras)
+        save_pytree(os.path.join(ck, "extras"), extras, backend)
     if opt_state is not None:
-        save_pytree(os.path.join(ck, "opt_state"), opt_state)
+        save_pytree(os.path.join(ck, "opt_state"), opt_state, backend)
     if best_m is not None:
         with open(os.path.join(ck, "best_m.json"), "w") as f:
             json.dump({"best_m": np.asarray(best_m).tolist()
@@ -168,6 +225,10 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
     with open(os.path.join(ck, "meta.json"), "w") as f:
         json.dump({"ckpt_format": CKPT_FORMAT}, f)
     if prune_previous and epoch > 0:
+        if backend == "orbax":
+            # the previous epoch's async save may still be committing —
+            # never rmtree a directory with an in-flight writer
+            wait_for_saves()
         shutil.rmtree(os.path.join(run_dir, str(epoch - 1)),
                       ignore_errors=True)
     return ck

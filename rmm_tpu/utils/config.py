@@ -76,6 +76,10 @@ class Config:
                                   # to device-by-default awaits an on-chip
                                   # A/B (see use_device_sampler)
 
+    ckpt_backend: str = "msgpack"  # msgpack (flax files) | orbax (async
+                                   # directory components; same layout and
+                                   # load paths — backends interoperate)
+
     scan_layers: bool = False     # lax.scan over the fused GNN layer stack
                                   # (stacked params, ONE traced layer body)
                                   # instead of Python-unrolled layers —
@@ -164,6 +168,10 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over the fused layer stack (smaller "
                         "compiled program; stacked param layout)")
+    p.add_argument("--ckpt_backend", default="msgpack",
+                   choices=("msgpack", "orbax"),
+                   help="checkpoint serialization: flax msgpack files or "
+                        "orbax async directory components")
     return p
 
 
@@ -196,6 +204,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         cfg = cfg.replace(precision=args.precision)
     if getattr(args, "scan_layers", False):
         cfg = cfg.replace(scan_layers=True)
+    if getattr(args, "ckpt_backend", "msgpack") != "msgpack":
+        cfg = cfg.replace(ckpt_backend=args.ckpt_backend)
     if args.dropout is not None:
         cfg = cfg.replace(dropout=args.dropout)
     # dataset-specific hardcoded overrides of record (main.py:218-265)
