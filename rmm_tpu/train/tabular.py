@@ -219,4 +219,6 @@ class TabularMCMTrainer:
                 for k in improved:
                     self.save(run_dir, f"best_{k}", best, with_opt=False)
             history.append(rec)
+        from ..utils.checkpoint import wait_for_saves
+        wait_for_saves()
         return history, best

@@ -225,10 +225,12 @@ def save_checkpoint(run_dir: str, epoch, variables: dict,
     with open(os.path.join(ck, "meta.json"), "w") as f:
         json.dump({"ckpt_format": CKPT_FORMAT}, f)
     if prune_previous and epoch > 0:
-        if backend == "orbax":
-            # the previous epoch's async save may still be committing —
-            # never rmtree a directory with an in-flight writer
-            wait_for_saves()
+        # orbax note: no wait needed here — the shared AsyncCheckpointer
+        # serializes saves (each .save() blocks until its predecessor's
+        # commit), so by the time this epoch's components were all
+        # enqueued above, every epoch-1 component had already committed;
+        # only THIS epoch's last component is still in flight, and it
+        # isn't under the directory being removed.
         shutil.rmtree(os.path.join(run_dir, str(epoch - 1)),
                       ignore_errors=True)
     return ck

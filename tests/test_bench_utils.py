@@ -21,5 +21,17 @@ def test_perf_from_cost_degenerate_inputs():
 
 
 def test_fwd_batch_clamped_to_rows():
-    # BENCH_ROWS smaller than the serving batch must not index OOB
-    assert bench.FWD_BATCH <= max(bench.ROWS, 8192)
+    """BENCH_ROWS smaller than the serving batch must clamp FWD_BATCH
+    (else build_fwd indexes OOB) — checked in a subprocess so the env var
+    is read at module import like a real bench run."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_ROWS="1024", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", "import bench; print(bench.FWD_BATCH)"],
+        env=env, capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-500:]
+    assert int(out.stdout.strip().splitlines()[-1]) == 1024

@@ -75,12 +75,13 @@ def test_save_checkpoint_orbax_and_cross_backend_restore(tmp_path):
         assert_tree_equal(got_opt, opt)
 
 
-def test_orbax_prune_waits_for_inflight_save(tmp_path):
+def test_orbax_prune_is_safe_against_inflight_saves(tmp_path):
     variables = {"params": {"model": tree(7)}}
     run = str(tmp_path / "run")
     save_checkpoint(run, 0, variables, backend="orbax")
-    # epoch-1 save prunes epoch 0; the in-flight epoch-0 commit must have
-    # been flushed first (no torn directory left behind)
+    # epoch-1 save prunes epoch 0 WITHOUT a global flush: the shared
+    # AsyncCheckpointer serializes commits, so epoch 0 is fully committed
+    # before epoch 1's components enqueue — no torn directory either way
     save_checkpoint(run, 1, variables, backend="orbax")
     wait_for_saves()
     assert not os.path.exists(os.path.join(run, "0"))

@@ -81,14 +81,24 @@ def main():
         history, best = tr.fit()
         sec = time.time() - t0
 
-        # class prior on the labeled nodes — the bar the planted-signal
-        # run must clear for the table to mean anything
+        # trivial-predictor baselines on the labeled nodes — the bars the
+        # planted-signal run must clear. majority_prior is the majority
+        # class's ACCURACY; baseline_f1 is the majority predictor's F1
+        # under the SAME averaging the trainer reports (binary F1 for
+        # 2-class, weighted otherwise) so the comparison is commensurate.
+        from rmm_tpu.utils.metric import f1_score
+
         y = np.asarray(ds.nodes.tensor_frame.y)
         y = y[:, 0] if y.ndim > 1 else y
         ign = getattr(ds, "ignore_label", None)
         if ign is not None:
             y = y[y != ign]
-        prior = float(np.bincount(y.astype(int)).max() / max(len(y), 1))
+        y = y.astype(int)
+        counts = np.bincount(y)
+        prior = float(counts.max() / max(len(y), 1))
+        maj = int(counts.argmax())
+        avg = "binary" if cfg.n_classes == 2 else "weighted"
+        baseline_f1 = float(f1_score(y, np.full_like(y, maj), average=avg))
 
         fam_dir = os.path.join(args.out, fam)
         with open(os.path.join(fam_dir, "metrics.jsonl"), "w") as f:
@@ -99,6 +109,7 @@ def main():
         summary["families"][fam] = {
             "n_classes": cfg.n_classes,
             "majority_prior": round(prior, 4),
+            "majority_f1_baseline": round(baseline_f1, 4),
             "best_val_f1": round(float(best), 4),
             "final_test_f1": round(float(final.get("test_f1", 0.0)), 4),
             "train_sec": round(sec, 1),
