@@ -77,6 +77,12 @@ def write_synthetic_node_dataset(root: str, family: str = "ogbn",
     src, dst = _planted_edges(rng, num_nodes, num_edges, labels)
 
     if family == "elliptic":
+        # real Elliptic's first feature column ('1') is the TIME STEP the
+        # temporal split sorts on (elliptic.py:46-49) — a label-independent
+        # integer, NOT a signal feature; labels must stay balanced across
+        # the time axis or the split manufactures class shift
+        feats = feats.copy()
+        feats[:, 0] = rng.randint(1, 50, num_nodes).astype(np.float32)
         nodes = pd.DataFrame(feats, columns=[str(i + 1)
                                              for i in range(num_feats)])
         nodes.insert(0, "txId", np.arange(num_nodes) * 7 + 3)  # non-contig
