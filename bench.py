@@ -366,13 +366,20 @@ def measure_ssl_train(rows: int = ROWS):
     return cfg.batch_size / step_time, perf
 
 
-def _probe_device(timeout_s: int = 120) -> bool:
-    """Check the accelerator is actually reachable from a SUBPROCESS —
+def _probe_device(timeout_s: int = 180) -> bool:
+    """Check the accelerator is actually USABLE from a SUBPROCESS —
     through the TPU tunnel ``jax.devices()`` HANGS (not errors) when the
-    far end is down, which would wedge the whole benchmark run."""
+    far end is down, which would wedge the whole benchmark run. Listing
+    devices is not enough: the control plane can answer while the
+    compile/execute channel is wedged (observed round 4 — devices() fine,
+    every compile RPC blocked forever with zero socket traffic), so the
+    probe compiles and RUNS a tiny jitted program and forces the result
+    with device_get."""
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(jax.device_get(jax.jit(lambda x: x + 1)(jnp.ones(8))))"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

@@ -16,6 +16,16 @@ RESULTS.md.
 Usage:
     python tools/scale_run.py [--rows 5000000] [--epochs 20]
         [--out outputs/scale] [--model tabgnn]
+        [--host_only] [--cpu]
+
+``--host_only`` records the host-side at-scale evidence only (data
+generation, 5M-edge CSR build, capacity auto-calibration, C++ sampler
+throughput, trainer construction) and skips the training epochs — the
+honest subset that is measurable when the accelerator is unreachable
+(one CPU core cannot run 3M-row epochs). ``--cpu`` forces the CPU
+platform before jax initializes (the ambient env pins the TPU-tunnel
+platform, whose data plane can wedge even while ``jax.devices()``
+answers).
 """
 from __future__ import annotations
 
@@ -30,9 +40,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def main(argv=None):
-    from rmm_tpu.utils.jaxenv import setup as _jax_setup
-    _jax_setup()
-
     p = argparse.ArgumentParser()
     p.add_argument("--rows", default=5_000_000, type=int)
     p.add_argument("--epochs", default=20, type=int)
@@ -40,7 +47,26 @@ def main(argv=None):
     p.add_argument("--out", default="outputs/scale", type=str)
     p.add_argument("--steps_per_dispatch", default=1, type=int)
     p.add_argument("--sampler_threads", default=4, type=int)
+    p.add_argument("--host_only", action="store_true")
+    p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        # same recipe as tests/conftest.py: the .pth hook imports jax at
+        # interpreter startup with the tunnel platform pinned — strip the
+        # hook's relay vars and update the live config before any backend
+        # initializes
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path[:] = [q for q in sys.path if "axon_site" not in q]
+        for var in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+                    "AXON_LOOPBACK_RELAY"):
+            os.environ.pop(var, None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from rmm_tpu.utils.jaxenv import setup as _jax_setup
+    _jax_setup()
 
     from rmm_tpu.datasets import IBMTransactionsAML, write_synthetic_aml_csv
     from rmm_tpu.train.trainer import Trainer
@@ -91,6 +117,28 @@ def main(argv=None):
           f"{ds.graph.num_edges / 1e6:.1f}M-edge CSR; capacities "
           f"edge={trainer.cfg.edge_capacity} node={trainer.cfg.node_capacity} "
           f"(trainer built in {cal_sec:.1f}s)", flush=True)
+
+    if args.host_only:
+        import jax
+
+        summary = {
+            "rows": args.rows,
+            "edges": int(ds.graph.num_edges),
+            "nodes": int(ds.graph.num_nodes),
+            "model": args.model,
+            "host_only": True,
+            "platform": jax.default_backend(),
+            "gen_sec": round(gen_sec, 1),
+            "dataset_build_sec": round(build_sec, 1),
+            "trainer_build_sec": round(cal_sec, 1),
+            "edge_capacity": trainer.cfg.edge_capacity,
+            "node_capacity": trainer.cfg.node_capacity,
+            "sampler_rows_per_sec": round(sampler_rps, 1),
+        }
+        with open(os.path.join(args.out, "summary_host.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary, indent=2), flush=True)
+        return
 
     rl = RunLogger(args.out, config=json.loads(cfg.to_json()),
                    use_wandb=False)

@@ -1,0 +1,97 @@
+"""On-chip A/B battery: the two trace-time knobs bench.py can't flip.
+
+Runs each variant in its OWN subprocess (both knobs — RMM_SEGMENT_IMPL and
+RMM_DISABLE_PALLAS — are read at trace time; a compiled+cached program does
+not retrace when the env var changes, ops/segment.py:98-101) and collects
+one JSON artifact under ``outputs/tpu/``:
+
+  * supervised train step (config of record), segment backend sort vs
+    scatter — the round-2/3 "sort is ~2.5x faster on TPU" claim;
+  * SSL train step (C=128, bf16, scan_layers), Pallas column-attention
+    kernel vs the XLA einsum path — the round-3 "Pallas in training" claim.
+
+Usage:  python tools/tpu_ab_run.py            # full battery -> artifact
+        python tools/tpu_ab_run.py --one seg=sort   # single variant (JSON
+                                                    # line on stdout)
+
+Reference for the measured step: /root/reference/benchmark.py:869-951
+(the reference's profiling harness measures the same phases on CUDA).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VARIANTS = {
+    # name -> (env overrides, measurement)
+    "seg=sort": ({}, "sup"),
+    "seg=scatter": ({"RMM_SEGMENT_IMPL": "scatter"}, "sup"),
+    "ssl=pallas": ({}, "ssl"),
+    "ssl=xla": ({"RMM_DISABLE_PALLAS": "1"}, "ssl"),
+}
+
+
+def run_one(name: str) -> None:
+    import bench
+
+    env, kind = VARIANTS[name]
+    if kind == "sup":
+        dev_rps, _, _, perf = bench.measure_train(e2e=False)
+        batch = int(os.environ.get("BENCH_BATCH", 200))
+        out = {"variant": name, "rows_per_sec": round(dev_rps, 1),
+               "step_ms": round(1e3 * batch / dev_rps, 2)}
+    else:
+        ssl_rps, perf = bench.measure_ssl_train()
+        out = {"variant": name, "rows_per_sec": round(ssl_rps, 1),
+               "step_ms": round(1e3 * 200 / ssl_rps, 2)}
+    if perf:
+        out["mfu"] = round(perf["mfu"], 5)
+        if perf.get("sol_frac"):
+            out["sol_frac"] = round(perf["sol_frac"], 4)
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        run_one(sys.argv[sys.argv.index("--one") + 1])
+        return
+    import jax  # noqa: F401  (probe via bench's subprocess guard instead)
+    import bench
+
+    if not bench._probe_device():
+        print("accelerator unreachable — refusing to record CPU numbers "
+              "as an on-chip A/B", file=sys.stderr)
+        sys.exit(1)
+
+    results, t0 = [], time.time()
+    for name, (env, _) in VARIANTS.items():
+        e = dict(os.environ, PYTHONPATH=REPO, **env)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            env=e, capture_output=True, text=True, timeout=3600)
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            rec = {"variant": name, "error": r.stderr[-500:]}
+        print(rec, file=sys.stderr)
+        results.append(rec)
+
+    os.makedirs(os.path.join(REPO, "outputs", "tpu"), exist_ok=True)
+    art = {"battery_sec": round(time.time() - t0, 1),
+           "device": str(__import__("jax").devices()[0]),
+           "results": results}
+    path = os.path.join(REPO, "outputs", "tpu", "ab.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art))
+
+
+if __name__ == "__main__":
+    main()
