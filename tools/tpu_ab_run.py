@@ -54,6 +54,11 @@ def run_one(name: str) -> None:
         out["mfu"] = round(perf["mfu"], 5)
         if perf.get("sol_frac"):
             out["sol_frac"] = round(perf["sol_frac"], 4)
+    # capture the device string HERE (inside the measured subprocess,
+    # where jax is already live) — jax.devices() in the parent after the
+    # battery can hang indefinitely if the tunnel flaps mid-run, losing
+    # the whole artifact
+    out["device"] = str(__import__("jax").devices()[0])
     print(json.dumps(out))
 
 
@@ -69,28 +74,37 @@ def main() -> None:
               "as an on-chip A/B", file=sys.stderr)
         sys.exit(1)
 
+    os.makedirs(os.path.join(REPO, "outputs", "tpu"), exist_ok=True)
+    path = os.path.join(REPO, "outputs", "tpu", "ab.json")
     results, t0 = [], time.time()
+
+    def flush():
+        # incremental: a wedge on variant 3 must not discard variants 1-2
+        dev = next((r["device"] for r in results if "device" in r), None)
+        art = {"battery_sec": round(time.time() - t0, 1),
+               "device": dev, "results": results}
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1)
+        return art
+
     for name, (env, _) in VARIANTS.items():
         e = dict(os.environ, PYTHONPATH=REPO, **env)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            env=e, capture_output=True, text=True, timeout=3600)
-        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
         try:
-            rec = json.loads(line)
-        except json.JSONDecodeError:
-            rec = {"variant": name, "error": r.stderr[-500:]}
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                env=e, capture_output=True, text=True, timeout=3600)
+            line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                rec = {"variant": name, "error": r.stderr[-500:]}
+        except subprocess.TimeoutExpired:
+            rec = {"variant": name, "error": "timeout (3600s, tunnel wedge?)"}
         print(rec, file=sys.stderr)
         results.append(rec)
+        flush()
 
-    os.makedirs(os.path.join(REPO, "outputs", "tpu"), exist_ok=True)
-    art = {"battery_sec": round(time.time() - t0, 1),
-           "device": str(__import__("jax").devices()[0]),
-           "results": results}
-    path = os.path.join(REPO, "outputs", "tpu", "ab.json")
-    with open(path, "w") as f:
-        json.dump(art, f, indent=1)
-    print(json.dumps(art))
+    print(json.dumps(flush()))
 
 
 if __name__ == "__main__":

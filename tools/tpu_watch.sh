@@ -37,7 +37,10 @@ for i in $(seq 1 "$MAX"); do
       echo "$(date +%H:%M:%S) loop $i: data plane UP — quick battery" >>"$LOG"
       BENCH_ROWS=16384 timeout 1500 python bench.py >/tmp/bench_quick.json 2>>"$LOG"
       rc=$?
+      # a CPU-fallback record (tunnel flapped between probe and bench
+      # start) must NOT be accepted as on-chip evidence — keep looping
       [ $rc -eq 0 ] && grep -q '"value"' /tmp/bench_quick.json \
+        && ! grep -q 'cpu-FALLBACK' /tmp/bench_quick.json \
         && cp /tmp/bench_quick.json BENCH_QUICK.json
       echo "$(date +%H:%M:%S) quick battery rc=$rc" >>"$LOG"
       continue   # re-probe before committing to the long run
@@ -45,12 +48,13 @@ for i in $(seq 1 "$MAX"); do
     echo "$(date +%H:%M:%S) loop $i: firing FULL bench.py" >>"$LOG"
     timeout 2700 python bench.py >/tmp/bench_watch.json 2>>"$LOG"
     rc=$?
-    if [ $rc -eq 0 ] && grep -q '"value"' /tmp/bench_watch.json; then
+    if [ $rc -eq 0 ] && grep -q '"value"' /tmp/bench_watch.json \
+        && ! grep -q 'cpu-FALLBACK' /tmp/bench_watch.json; then
       cp /tmp/bench_watch.json BENCH_WATCH.json
       echo "$(date +%H:%M:%S) full bench rc=0 -> BENCH_WATCH.json" >>"$LOG"
       exit 0
     fi
-    echo "$(date +%H:%M:%S) full bench rc=$rc (wedged/failed) — will retry" >>"$LOG"
+    echo "$(date +%H:%M:%S) full bench rc=$rc (wedged/failed/cpu-fallback) — will retry" >>"$LOG"
   else
     echo "$(date +%H:%M:%S) loop $i: compile channel still wedged" >>"$LOG"
   fi
