@@ -188,6 +188,70 @@ def test_flax_embedder_mean_and_e5_last_token_pooling(tiny_hf_checkpoint,
     assert np.abs(f[0] - e[0]).max() > 1e-6
 
 
+TINY_CAUSAL = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures",
+    "tiny_e5-mistral")
+
+
+@pytest.fixture(scope="module")
+def tiny_causal_checkpoint():
+    pytest.importorskip("transformers")
+    assert _os.path.isfile(
+        _os.path.join(TINY_CAUSAL, "flax_model.msgpack")), (
+        "committed fixture missing — regenerate: "
+        "python tools/make_tiny_causal_lm.py")
+    return TINY_CAUSAL
+
+
+def test_e5_causal_lm_last_token_pooling_both_backends(
+        tiny_causal_checkpoint):
+    """The e5-mistral branch against a REAL CAUSAL decoder checkpoint
+    (committed GPT2, byte-level tokenizer with no native pad token —
+    the architecture class the reference's e5-mistral-7b belongs to,
+    TextToEmbedding.py:27-48): instruction prefix + bf16 torch load +
+    LAST-token pooling, on BOTH backends, cross-checked against each
+    other and a hand-rolled pooling oracle."""
+    from rmm_tpu.nn.text.embedder import (
+        FlaxTextToEmbedding,
+        TextToEmbedding,
+    )
+
+    sentences = ["good product", "bad quality!", ""]
+
+    # torch backend: is_e5 → bfloat16 weights, prefix, last-token pooling
+    emb_t = TextToEmbedding(tiny_causal_checkpoint, batch_size=2)
+    assert emb_t.is_e5
+    et = emb_t(sentences)
+    assert et.shape == (3, 16) and np.isfinite(et).all()
+
+    # flax backend over the same committed weights
+    emb_f = FlaxTextToEmbedding(tiny_causal_checkpoint, batch_size=2)
+    assert emb_f.is_e5
+    ef = emb_f(sentences)
+    assert ef.shape == (3, 16) and np.isfinite(ef).all()
+
+    # same weights, same pooling — torch runs in bf16 (reference
+    # semantics), flax in f32, so tolerance is bf16-scale
+    np.testing.assert_allclose(et, ef, rtol=0.1, atol=0.05)
+
+    # oracle: last-token pooling == hidden state at the final real token
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(tiny_causal_checkpoint)
+    lm = AutoModel.from_pretrained(tiny_causal_checkpoint)
+    text = TextToEmbedding.E5_PREFIX + sentences[0]
+    toks = tok([text, text + " padding padding"], padding=True,
+               return_tensors="pt")
+    with torch.no_grad():
+        hidden = lm(**toks).last_hidden_state
+    L = int(toks["attention_mask"][0].sum()) - 1
+    np.testing.assert_allclose(
+        et[0], hidden[0, L].numpy(), rtol=0.1, atol=0.05)
+    # causal tokenizer gotcha is real: pad token came from eos, not native
+    assert tok.pad_token == tok.eos_token
+
+
 def test_pretrained_lm_cache_gated_error():
     from rmm_tpu.nn.text import load_cached_lm
 
