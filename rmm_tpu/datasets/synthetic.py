@@ -9,10 +9,21 @@ import pandas as pd
 
 def synthetic_aml_frame(num_rows: int = 2000, num_accounts: int = 300,
                         num_days: int = 10, fraud_rate: float = 0.1,
-                        seed: int = 0) -> pd.DataFrame:
+                        seed: int = 0, communities: int = 0,
+                        intra_rate: float = 0.9) -> pd.DataFrame:
     """AML-shaped transactions with a planted fraud signal: laundering
     transactions skew to large amounts, a specific currency pair and a
-    small ring of accounts, so models have structure to learn."""
+    small ring of accounts, so models have structure to learn.
+
+    ``communities > 0`` additionally plants a LINK-STRUCTURE signal for
+    the SSL pretext tasks (VERDICT r4 next-step #3): accounts partition
+    into communities, non-fraud transactions stay intra-community with
+    probability ``intra_rate``, and each community prefers a currency —
+    so a GNN can recover an endpoint's community from its transaction
+    neighborhood and a link-prediction head can rank true (mostly
+    intra-community) edges above uniformly-corrupted negatives (mostly
+    cross-community).  Default 0 keeps the generator byte-identical to
+    the previous behavior for a fixed seed."""
     rng = np.random.RandomState(seed)
     n = num_rows
     is_fraud = rng.rand(n) < fraud_rate
@@ -26,6 +37,23 @@ def synthetic_aml_frame(num_rows: int = 2000, num_accounts: int = 300,
     amount = np.where(is_fraud, rng.lognormal(6, 1, n), rng.lognormal(3, 1, n))
     currencies = np.array(["USD", "EUR", "GBP", "BTC"])
     pay_cur = currencies[rng.randint(0, 4, n)]
+    recv_cur = None  # communities=0: drawn at frame build, in the
+    # ORIGINAL rng-stream position (byte-identity for a fixed seed)
+    if communities:
+        recv_cur = currencies[rng.randint(0, 4, n)]
+        comm = rng.randint(0, communities, num_accounts)
+        members = [np.nonzero(comm == c)[0] for c in range(communities)]
+        intra = (~is_fraud) & (rng.rand(n) < intra_rate)
+        for i in np.nonzero(intra)[0]:
+            m = members[comm[from_id[i]]]
+            if len(m):
+                to_id[i] = m[rng.randint(len(m))]
+        # currency flavor: payment by the SOURCE community, receiving by
+        # the DESTINATION community — both endpoints' neighborhoods carry
+        # their community signature
+        flavor = rng.rand(n) < 0.7
+        pay_cur = np.where(flavor, currencies[comm[from_id] % 4], pay_cur)
+        recv_cur = np.where(flavor, currencies[comm[to_id] % 4], recv_cur)
     pay_cur[is_fraud & (rng.rand(n) < 0.7)] = "BTC"
     formats = np.array(["Wire", "ACH", "Cheque", "Card", "Bitcoin"])
     fmt = formats[rng.randint(0, 5, n)]
@@ -38,7 +66,8 @@ def synthetic_aml_frame(num_rows: int = 2000, num_accounts: int = 300,
         "To Bank": rng.randint(0, 10, n),
         "To ID": to_id.astype(np.float64),
         "Amount Received": amount,
-        "Receiving Currency": currencies[rng.randint(0, 4, n)],
+        "Receiving Currency": (recv_cur if recv_cur is not None
+                               else currencies[rng.randint(0, 4, n)]),
         "Amount Paid": amount,
         "Payment Currency": pay_cur,
         "Payment Format": fmt,
