@@ -26,7 +26,8 @@ probe() {
 
 for i in $(seq 1 "$MAX"); do
   # never probe while another bench/probe holds the chip client
-  if [ -f /tmp/bench_r4.pid ] && kill -0 "$(cat /tmp/bench_r4.pid)" 2>/dev/null; then
+  # (any chip-holding job writes its pid to /tmp/rmm_chip.pid)
+  if [ -f /tmp/rmm_chip.pid ] && kill -0 "$(cat /tmp/rmm_chip.pid)" 2>/dev/null; then
     echo "$(date +%H:%M:%S) loop $i: bench attempt still running, waiting" >>"$LOG"
     sleep "$INTERVAL"
     continue
