@@ -111,16 +111,38 @@ class DeviceGraph:
 
 
 def use_device_sampler(cfg) -> bool:
-    """Resolve the ``sampler`` config knob. "auto" currently resolves to
-    the host (C++) sampler. Round 3 cut in-jit sampling ~16x (calibrated
-    frontier + rank-allocated expansion: 1018 -> 63 ms/batch on CPU at
-    the 5M-edge config, identical outputs — RESULTS.md); the remaining
-    gap to the C++ engine is ~4x of single-core host time, but the device
-    path spends ACCELERATOR time instead and frees the host entirely
-    (the multi-chip feeding story). The auto -> device default flip
-    awaits the on-chip A/B; until then it is opt-in (--sampler device)."""
+    """Resolve the ``sampler`` config knob per-regime, on measured data.
+
+    The round-4/5 on-chip A/B (BENCH_QUICK.json, v5e through the tunnel):
+    the in-jit device sampler WINS the isolated train step (5,040 vs
+    4,647 rows/s — the device-materialized batch layout feeds the scan
+    without host stacking) but LOSES the overlapped single-chip epoch
+    (1,889 vs 2,284 rows/s): with one chip and an otherwise-idle host,
+    the C++ host sampler runs FOR FREE under the train dispatch window,
+    while device sampling spends accelerator cycles the train step could
+    have used (the sample_group program executes on the same core it
+    feeds — outputs/tpu/e2e_breakdown.json attributes the epoch gap to
+    exactly that serialization).
+
+    So ``auto`` resolves by regime:
+
+    * single process (one host feeds its chips and has sampling cycles
+      to spare) → HOST — the measured e2e winner;
+    * multi-process / multi-host runs (``jax.process_count() > 1``,
+      SPMD launch) → DEVICE — per-chip host sampling no longer scales
+      (each host must sample for its chips while also stacking and
+      shipping full padded subgraphs over DCN; the device path ships
+      seed ids only and keeps the CSR in HBM, the sharding story the
+      dp/dp×tp device dryruns validate).
+    """
     mode = getattr(cfg, "sampler", "auto")
-    return mode == "device"
+    if mode == "device":
+        return True
+    if mode == "host":
+        return False
+    from ..parallel.distributed import process_info
+
+    return process_info()[1] > 1
 
 
 def cached_dgraph(store, cache: dict, mode: str) -> "DeviceGraph":

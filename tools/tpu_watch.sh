@@ -47,8 +47,12 @@ for i in $(seq 1 "$MAX"); do
       continue   # re-probe before committing to the long run
     fi
     echo "$(date +%H:%M:%S) loop $i: firing FULL bench.py" >>"$LOG"
-    timeout 2700 python bench.py >/tmp/bench_watch.json 2>>"$LOG"
+    timeout 2700 python bench.py >/tmp/bench_watch.json 2>>"$LOG" &
+    bpid=$!
+    echo $bpid > /tmp/rmm_chip.pid   # hold the chip lock for the queue
+    wait $bpid
     rc=$?
+    rm -f /tmp/rmm_chip.pid
     if [ $rc -eq 0 ] && grep -q '"value"' /tmp/bench_watch.json \
         && ! grep -q 'cpu-FALLBACK' /tmp/bench_watch.json; then
       cp /tmp/bench_watch.json BENCH_WATCH.json
