@@ -61,6 +61,11 @@ wait_probe() {
 J=/tmp/tpu_queue_done
 mkdir -p "$J"
 
+if [ ! -f "$J/sslbisect" ]; then
+  wait_probe
+  run_job sslbisect 12000 python tools/ssl_compile_bisect.py \
+    && touch "$J/sslbisect"
+fi
 if [ ! -f "$J/profile" ]; then
   wait_probe
   run_job profile 4500 python tools/device_e2e_profile.py --trace \
