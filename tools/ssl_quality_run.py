@@ -56,6 +56,7 @@ def main():
                     choices=["mcm", "lp", "mcm-lp"])
     ap.add_argument("--moo", default="sum", choices=["sum", "moco"])
     ap.add_argument("--num_neg_samples", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--num_layers", type=int, default=2)
@@ -79,7 +80,7 @@ def main():
         pretrain.add(PretrainType.MASK)
     cfg = Config(model="tabgnnfused", data=csv, batch_size=args.batch_size,
                  n_hidden=args.channels, n_gnn_layers=args.num_layers,
-                 num_neighs=(100, 100), lr=2e-4,
+                 num_neighs=(100, 100), lr=args.lr,
                  num_neg_samples=args.num_neg_samples, moo=args.moo,
                  epochs=args.epochs, testing=True)
     ds = IBMTransactionsAML(root=csv, pretrain=pretrain,
