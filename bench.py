@@ -486,13 +486,15 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"cpu baseline failed: {e}", file=sys.stderr)
 
-    vs = (device_rps / cpu_rps) if cpu_rps else 1.0
+    # None (not 1.0) when the CPU baseline failed/timed out — a fake
+    # "1.0x" would misreport the speedup as parity
+    vs = (device_rps / cpu_rps) if cpu_rps else None
     print(json.dumps({
         "metric": "supervised encode+train rows/sec/chip (tabgnn, config "
                   "of record)",
         "value": round(device_rps, 1),
         "unit": "rows/s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": (round(vs, 2) if vs is not None else None),
         "sampler_rows_per_sec": round(sampler_rps, 1),
         "e2e_rows_per_sec": round(e2e_rps, 1),
         "fwd_rows_per_sec": round(fwd_rps, 1),
