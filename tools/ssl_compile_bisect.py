@@ -105,7 +105,11 @@ def main() -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     results = []
     for name, (_, _, env) in VARIANTS.items():
-        e = dict(os.environ, PYTHONPATH=REPO, **env)
+        # APPEND to PYTHONPATH — replacing it drops /root/.axon_site and
+        # the subprocess cannot register the axon platform at all
+        pp = os.pathsep.join(
+            p for p in (REPO, os.environ.get("PYTHONPATH", "")) if p)
+        e = dict(os.environ, PYTHONPATH=pp, **env)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -116,6 +120,9 @@ def main() -> None:
             except json.JSONDecodeError:
                 rec = {"variant": name, "ok": False,
                        "error": r.stderr[-400:]}
+            if not rec.get("variant"):
+                rec = {"variant": name, "ok": False, "error":
+                       (r.stderr[-400:] or f"empty output, rc={r.returncode}")}
         except subprocess.TimeoutExpired:
             rec = {"variant": name, "ok": False, "error": "timeout 2400s"}
         print(rec, file=sys.stderr)

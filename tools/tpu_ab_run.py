@@ -88,7 +88,11 @@ def main() -> None:
         return art
 
     for name, (env, _) in VARIANTS.items():
-        e = dict(os.environ, PYTHONPATH=REPO, **env)
+        # APPEND to PYTHONPATH — replacing it drops /root/.axon_site and
+        # the subprocess cannot register the axon platform at all
+        pp = os.pathsep.join(
+            p for p in (REPO, os.environ.get("PYTHONPATH", "")) if p)
+        e = dict(os.environ, PYTHONPATH=pp, **env)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -98,6 +102,9 @@ def main() -> None:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 rec = {"variant": name, "error": r.stderr[-500:]}
+            if not rec.get("variant"):  # empty stdout masks a crash
+                rec = {"variant": name, "error":
+                       (r.stderr[-500:] or f"empty output, rc={r.returncode}")}
         except subprocess.TimeoutExpired:
             rec = {"variant": name, "error": "timeout (3600s, tunnel wedge?)"}
         print(rec, file=sys.stderr)

@@ -57,35 +57,48 @@ wait_probe() {
   done
 }
 
-# jobs marked done by sentinel files so the queue is resumable
+# jobs marked done by sentinel files so the queue is resumable; failed
+# jobs RETRY on the next pass (the tunnel flaps — a refusal because the
+# probe raced a flap must not permanently skip the job)
 J=/tmp/tpu_queue_done
 mkdir -p "$J"
 
-if [ ! -f "$J/sslbisect" ]; then
-  wait_probe
-  run_job sslbisect 12000 python tools/ssl_compile_bisect.py \
-    && touch "$J/sslbisect"
-fi
-if [ ! -f "$J/profile" ]; then
-  wait_probe
-  run_job profile 4500 python tools/device_e2e_profile.py --trace \
-    && touch "$J/profile"
-fi
-if [ ! -f "$J/ab" ]; then
-  wait_probe
-  run_job ab 9000 python tools/tpu_ab_run.py && touch "$J/ab"
-fi
-if [ ! -f "$J/sslq" ]; then
-  wait_probe
-  run_job sslq 7200 env RMM_QUALITY_CPU=0 python tools/ssl_quality_run.py \
-    --rows 16384 --accounts 1024 --epochs 20 --lr 1e-3 --moo moco \
-    --num_neg_samples 64 --channels 128 --num_layers 3 \
-    --out outputs/quality/ssl_tpu && touch "$J/sslq"
-fi
-if [ ! -f "$J/supq" ]; then
-  wait_probe
-  run_job supq 10800 env RMM_QUALITY_CPU=0 python tools/quality_run.py \
-    --rows 131072 --accounts 8192 --epochs 30 --models tabgnn \
-    --out outputs/quality/tpu_record && touch "$J/supq"
-fi
-echo "$(date +%H:%M:%S) queue complete" >>"$LOG"
+for pass in $(seq 1 40); do
+  if [ ! -f "$J/sslbisect" ]; then
+    wait_probe
+    run_job sslbisect 12000 python tools/ssl_compile_bisect.py \
+      && touch "$J/sslbisect"
+  fi
+  if [ ! -f "$J/profile" ]; then
+    wait_probe
+    run_job profile 4500 python tools/device_e2e_profile.py --trace \
+      && touch "$J/profile"
+  fi
+  if [ ! -f "$J/ab" ]; then
+    wait_probe
+    run_job ab 9000 python tools/tpu_ab_run.py && touch "$J/ab"
+  fi
+  if [ ! -f "$J/sslq" ]; then
+    # C=64: the C=128 compile kills the terminal-side helper (see
+    # ssl_compile_bisect); 64 is the largest known-compiling SSL width
+    # until the bisect says otherwise
+    wait_probe
+    run_job sslq 7200 env RMM_QUALITY_CPU=0 python tools/ssl_quality_run.py \
+      --rows 16384 --accounts 1024 --epochs 20 --lr 1e-3 --moo moco \
+      --num_neg_samples 64 --channels 64 --num_layers 3 \
+      --out outputs/quality/ssl_tpu && touch "$J/sslq"
+  fi
+  if [ ! -f "$J/supq" ]; then
+    wait_probe
+    run_job supq 10800 env RMM_QUALITY_CPU=0 python tools/quality_run.py \
+      --rows 131072 --accounts 8192 --epochs 30 --models tabgnn \
+      --out outputs/quality/tpu_record && touch "$J/supq"
+  fi
+  if [ -f "$J/sslbisect" ] && [ -f "$J/profile" ] && [ -f "$J/ab" ] \
+      && [ -f "$J/sslq" ] && [ -f "$J/supq" ]; then
+    echo "$(date +%H:%M:%S) queue complete" >>"$LOG"
+    exit 0
+  fi
+  sleep "$INTERVAL"
+done
+echo "$(date +%H:%M:%S) queue gave up after 40 passes" >>"$LOG"
