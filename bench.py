@@ -176,6 +176,7 @@ def build_trainer(rows: int, sampler: str | None = None):
                  n_hidden=32, n_gnn_layers=2,
                  num_neighs=(100, 100), steps_per_dispatch=TRAIN_K,
                  sampler_threads=4, epochs=1, testing=True,
+                 precision=os.environ.get("BENCH_PRECISION", "f32"),
                  sampler=sampler
                  or os.environ.get("BENCH_SAMPLER", "auto"))
     ds = IBMTransactionsAML(root=csv, khop_neighbors=cfg.num_neighs,

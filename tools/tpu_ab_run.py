@@ -32,6 +32,14 @@ VARIANTS = {
     # name -> (env overrides, measurement)
     "seg=sort": ({}, "sup"),
     "seg=scatter": ({"RMM_SEGMENT_IMPL": "scatter"}, "sup"),
+    # precision + batch-size ladders: the two roofline levers. The step is
+    # memory-bound by capacity (sol_frac ~0.1 at B=200) — bf16 halves the
+    # activation bytes; B=400/800 amortize the fixed capacity-shaped work
+    # over more seed rows (caps are graph-bounded at the 131k config, so
+    # rows/s should scale if and only if capacity dominates latency).
+    "sup=bf16": ({"BENCH_PRECISION": "bf16"}, "sup"),
+    "sup=B400": ({"BENCH_BATCH": "400"}, "sup"),
+    "sup=B800": ({"BENCH_BATCH": "800"}, "sup"),
     "ssl=pallas": ({}, "ssl"),
     "ssl=xla": ({"RMM_DISABLE_PALLAS": "1"}, "ssl"),
 }
