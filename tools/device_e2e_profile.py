@@ -173,7 +173,9 @@ def main():
 
     import bench
 
-    if not bench._probe_device():
+    # 300 s: on a contended 1-core box the probe subprocess's jax import
+    # + relay round-trip alone can exceed the default 180 s
+    if not bench._probe_device(timeout_s=300):
         print("accelerator unreachable — refusing to profile on CPU",
               file=sys.stderr)
         sys.exit(1)
