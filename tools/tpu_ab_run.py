@@ -40,6 +40,13 @@ VARIANTS = {
     "sup=bf16": ({"BENCH_PRECISION": "bf16"}, "sup"),
     "sup=B400": ({"BENCH_BATCH": "400"}, "sup"),
     "sup=B800": ({"BENCH_BATCH": "800"}, "sup"),
+    # chip-proven SSL width (the C=128 program kills the terminal-side
+    # remote compile helper — see ssl_compile_bisect). At C=64 head_dim=8
+    # so the Pallas kernel does not engage (transformer.py kernel_ok gate);
+    # this row is the SSL perf datum, the two C=128 rows below are the
+    # Pallas-vs-XLA A/B and double as the helper-limit record when they
+    # fail to compile.
+    "ssl=C64": ({"BENCH_SSL_C": "64"}, "ssl"),
     "ssl=pallas": ({}, "ssl"),
     "ssl=xla": ({"RMM_DISABLE_PALLAS": "1"}, "ssl"),
 }
@@ -55,8 +62,10 @@ def run_one(name: str) -> None:
         out = {"variant": name, "rows_per_sec": round(dev_rps, 1),
                "step_ms": round(1e3 * batch / dev_rps, 2)}
     else:
-        ssl_rps, perf = bench.measure_ssl_train()
-        out = {"variant": name, "rows_per_sec": round(ssl_rps, 1),
+        c = int(os.environ.get("BENCH_SSL_C", 128))
+        ssl_rps, perf = bench.measure_ssl_train(channels=c)
+        out = {"variant": name, "channels": c,
+               "rows_per_sec": round(ssl_rps, 1),
                "step_ms": round(1e3 * 200 / ssl_rps, 2)}
     if perf:
         out["mfu"] = round(perf["mfu"], 5)
