@@ -30,6 +30,7 @@ VARIANTS = {
     # ladders: find the size where the helper dies
     "C32": (dict(n_hidden=32), "mcm-lp", {}),
     "C64": (dict(n_hidden=64), "mcm-lp", {}),
+    "C96": (dict(n_hidden=96), "mcm-lp", {}),
     "C128": (dict(n_hidden=128), "mcm-lp", {}),
     # factor isolation at C=128
     "C128-mcm": (dict(n_hidden=128), "mcm", {}),
