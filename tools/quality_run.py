@@ -66,13 +66,25 @@ def main():
                                 channels=cfg.n_hidden)
         t0 = time.time()
         tr = Trainer(cfg, ds)
-        hist, best = tr.fit()
-        sec = time.time() - t0
         mdir = os.path.join(args.out, model)
         os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, "metrics.jsonl"), "w") as f:
-            for rec in hist:
-                f.write(json.dumps(rec, default=float) + "\n")
+
+        class _Stream:
+            """Append each epoch record as it lands — a tunnel flap (or
+            the chip-queue job timeout) at epoch 29/30 must not lose the
+            whole learning curve."""
+
+            def __init__(self, path):
+                self.f = open(path, "w")
+
+            def log(self, rec, step=None):
+                self.f.write(json.dumps(rec, default=float) + "\n")
+                self.f.flush()
+
+        stream = _Stream(os.path.join(mdir, "metrics.jsonl"))
+        hist, best = tr.fit(run_logger=stream)
+        stream.f.close()
+        sec = time.time() - t0
         best_ep = max(hist, key=lambda r: r.get("val_f1", -1))
         summary["models"][model] = {
             "best_val_f1": best_ep.get("val_f1"),
