@@ -310,7 +310,8 @@ def measure_train(rows: int = ROWS, k: int = TRAIN_K, e2e: bool = True,
 # SSL-config train step (C=128, 3 layers, bf16) — the MXU-bound shape
 # ---------------------------------------------------------------------------
 
-def measure_ssl_train(rows: int = ROWS, channels: int = 128):
+def measure_ssl_train(rows: int = ROWS, channels: int = 128,
+                      trace_dir: str | None = None):
     """Joint mcm-lp pretrain step at the SSL config of record
     (``fused.py:626-630``: batch 200, channels 128, 3 layers, 64 negative
     samples) under --precision bf16. Returns (rows_per_sec, perf_dict) — the
@@ -371,6 +372,12 @@ def measure_ssl_train(rows: int = ROWS, channels: int = 128):
         perf = _perf_from_cost(cost, step_time)
     except Exception:
         pass
+    if trace_dir:  # one traced dispatch for op-level attribution
+        os.makedirs(trace_dir, exist_ok=True)
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            jax.device_get(dispatch1()[4])
     return cfg.batch_size / step_time, perf
 
 

@@ -168,6 +168,9 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--trace", action="store_true",
                     help="capture jax.profiler traces (large artifacts)")
+    ap.add_argument("--ssl-channels", type=int, default=64,
+                    help="also time+trace one SSL step at this width "
+                         "(0 disables)")
     ap.add_argument("--out", default="outputs/tpu/e2e_breakdown.json")
     args = ap.parse_args()
 
@@ -181,18 +184,48 @@ def main():
         sys.exit(1)
 
     results = []
+
+    def flush():
+        os.makedirs(os.path.dirname(os.path.join(REPO, args.out)),
+                    exist_ok=True)
+        with open(os.path.join(REPO, args.out), "w") as f:
+            json.dump({"rows": args.rows, "k": args.k,
+                       "results": results}, f, indent=1)
+
     for sampler in ("host", "device"):
         td = (os.path.join(REPO, "outputs", "tpu", "trace", sampler)
               if args.trace else None)
         r = profile_path(args.rows, sampler, args.k, td)
         print(json.dumps(r), file=sys.stderr)
         results.append(r)
-        # write incrementally — a tunnel wedge on path 2 must not lose path 1
-        os.makedirs(os.path.dirname(os.path.join(REPO, args.out)),
-                    exist_ok=True)
-        with open(os.path.join(REPO, args.out), "w") as f:
-            json.dump({"rows": args.rows, "k": args.k,
-                       "results": results}, f, indent=1)
+        flush()  # a tunnel wedge on path 2 must not lose path 1
+
+    # SSL step trace at the largest chip-compiling width (C=64 today —
+    # the C=128 config of record kills the remote compile helper, see
+    # ssl_compile_bisect): op-level attribution for the scanned fused
+    # stack, where per-layer sorts cannot CSE across lax.scan iterations.
+    if args.ssl_channels:
+        try:
+            import bench
+            td = (os.path.join(REPO, "outputs", "tpu", "trace",
+                               f"ssl_c{args.ssl_channels}")
+                  if args.trace else None)
+            rps, perf = bench.measure_ssl_train(
+                channels=args.ssl_channels, trace_dir=td)
+            r = {"sampler": f"ssl_c{args.ssl_channels}",
+                 "rows_per_sec": round(rps, 1)}
+            if perf:
+                r["mfu"] = round(perf["mfu"], 5)
+                if perf.get("sol_frac"):
+                    r["sol_frac"] = round(perf["sol_frac"], 4)
+            if td:
+                r["trace_dir"] = td
+            print(json.dumps(r), file=sys.stderr)
+            results.append(r)
+            flush()
+        except Exception as e:  # the supervised artifact must survive
+            print(f"ssl profile failed: {e}", file=sys.stderr)
+
     print(json.dumps({"results": results}))
 
 
