@@ -128,7 +128,18 @@ def main() -> None:
         results.append(rec)
         flush()
 
-    print(json.dumps(flush()))
+    art = flush()
+    print(json.dumps(art))
+    # rc gates the chip-queue's done-sentinel: a battery where the
+    # supervised ladder produced no numbers (tunnel flap mid-run, env
+    # breakage) must NOT be marked done — require the baseline sort row
+    # and at least 3 more measured variants (the two C=128 SSL rows may
+    # legitimately record compile-helper errors).
+    measured = {r["variant"] for r in results if "rows_per_sec" in r}
+    if "seg=sort" not in measured or len(measured) < 4:
+        print(f"battery incomplete: measured={sorted(measured)}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
