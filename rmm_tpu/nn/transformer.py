@@ -58,8 +58,14 @@ class MultiHeadSelfAttention(nn.Module):
                      and not os.environ.get("RMM_DISABLE_PALLAS")
                      and C % self.nhead == 0
                      # tiny head_dim: the head-expanded einsum path below
-                     # beats the lane-padded kernel — skip the kernel
-                     and hd >= 16
+                     # was measured faster than the lane-padded kernel at
+                     # small batch; at 131k-lane batches the round-5 chip
+                     # trace shows that path's HBM-materialized [B,S,H,C]
+                     # intermediates DOMINATE the train step (~45% of step
+                     # time fwd+bwd) while the kernel keeps them in VMEM —
+                     # RMM_FORCE_PALLAS bypasses the gate for the on-chip
+                     # A/B (tools/tpu_ab_run.py) that decides the default
+                     and (hd >= 16 or os.environ.get("RMM_FORCE_PALLAS"))
                      and jax.default_backend() == "tpu")
         if self.use_pallas == "always" or kernel_ok:
             from ..ops.pallas.column_attention import fused_column_attention

@@ -40,6 +40,15 @@ VARIANTS = {
     "sup=bf16": ({"BENCH_PRECISION": "bf16"}, "sup"),
     "sup=B400": ({"BENCH_BATCH": "400"}, "sup"),
     "sup=B800": ({"BENCH_BATCH": "800"}, "sup"),
+    # round-5 trace finding: at 131k-lane batches the hd<16 head-expanded
+    # einsum attention dominates the step (its [B,S,H,C] HBM intermediates,
+    # fwd muls + bwd dot_generals/reduce_sums ~45%); these rows measure the
+    # VMEM-resident Pallas kernel there instead (transformer.py gate)
+    "sup=pallas-hd4": ({"RMM_FORCE_PALLAS": "1"}, "sup"),
+    "sup=pallas-hd4-B800": ({"RMM_FORCE_PALLAS": "1",
+                             "BENCH_BATCH": "800"}, "sup"),
+    "ssl=C64-pallas": ({"BENCH_SSL_C": "64", "RMM_FORCE_PALLAS": "1"},
+                       "ssl"),
     # chip-proven SSL width (the C=128 program kills the terminal-side
     # remote compile helper — see ssl_compile_bisect). At C=64 head_dim=8
     # so the Pallas kernel does not engage (transformer.py kernel_ok gate);
