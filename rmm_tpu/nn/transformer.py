@@ -58,13 +58,14 @@ class MultiHeadSelfAttention(nn.Module):
                      and not os.environ.get("RMM_DISABLE_PALLAS")
                      and C % self.nhead == 0
                      # tiny head_dim: the head-expanded einsum path below
-                     # was measured faster than the lane-padded kernel at
-                     # small batch; at 131k-lane batches the round-5 chip
-                     # trace shows that path's HBM-materialized [B,S,H,C]
-                     # intermediates DOMINATE the train step (~45% of step
-                     # time fwd+bwd) while the kernel keeps them in VMEM —
-                     # RMM_FORCE_PALLAS bypasses the gate for the on-chip
-                     # A/B (tools/tpu_ab_run.py) that decides the default
+                     # wins. Round-5 on-chip A/B at the 131k-lane config
+                     # of record (outputs/tpu/ab.json, tools/tpu_ab_run):
+                     # einsum 1,055 rows/s vs kernel 430 — the kernel
+                     # saves the [B,S,H,C] HBM intermediates (52% of the
+                     # step per the trace) but its sequential grid of
+                     # batched tiny (M=N=S, K=C) dots underuses the
+                     # MXU/VPU by more than the traffic saved.
+                     # RMM_FORCE_PALLAS reproduces the A/B.
                      and (hd >= 16 or os.environ.get("RMM_FORCE_PALLAS"))
                      and jax.default_backend() == "tpu")
         if self.use_pallas == "always" or kernel_ok:
@@ -76,7 +77,11 @@ class MultiHeadSelfAttention(nn.Module):
                     (B, self.nhead, S, S))
             return fused_column_attention(
                 x, wqkv, bqkv, wout, bout, self.nhead, drop_mask=mask,
-                dropout_rate=self.dropout if dropout_active else 0.0)
+                dropout_rate=self.dropout if dropout_active else 0.0,
+                # batch-tile rows per grid step (trace-time env knob for
+                # the on-chip sweep; VMEM use scales with it)
+                block_rows=int(os.environ.get("RMM_PALLAS_BLOCK_ROWS",
+                                              128)))
 
         qkv = x @ wqkv + bqkv
         q, k, v = jnp.split(qkv, 3, axis=-1)

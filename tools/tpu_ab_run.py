@@ -42,11 +42,15 @@ VARIANTS = {
     "sup=B800": ({"BENCH_BATCH": "800"}, "sup"),
     # round-5 trace finding: at 131k-lane batches the hd<16 head-expanded
     # einsum attention dominates the step (its [B,S,H,C] HBM intermediates,
-    # fwd muls + bwd dot_generals/reduce_sums ~45%); these rows measure the
-    # VMEM-resident Pallas kernel there instead (transformer.py gate)
+    # fwd muls + bwd dot_generals/reduce_sums ~52%); this row measures the
+    # VMEM-resident Pallas kernel there instead (transformer.py gate).
+    # MEASURED 2026-08-19 on-chip: 430 rows/s (465 ms/step) vs 1,055 for
+    # the einsum path — the kernel's 1024-tile sequential grid of
+    # batched tiny (M=N=7, K=32) dots loses far more to MXU/VPU
+    # underutilization than it saves in HBM traffic. The hd>=16 gate
+    # stands on round-5 data; the row stays so future batteries keep the
+    # regression record (cache-warm re-measure is cheap).
     "sup=pallas-hd4": ({"RMM_FORCE_PALLAS": "1"}, "sup"),
-    "sup=pallas-hd4-B800": ({"RMM_FORCE_PALLAS": "1",
-                             "BENCH_BATCH": "800"}, "sup"),
     "ssl=C64-pallas": ({"BENCH_SSL_C": "64", "RMM_FORCE_PALLAS": "1"},
                        "ssl"),
     # chip-proven SSL width (the C=128 program kills the terminal-side
