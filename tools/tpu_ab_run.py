@@ -117,7 +117,12 @@ def main() -> None:
             json.dump(art, f, indent=1)
         return art
 
-    for name, (env, _) in VARIANTS.items():
+    # RMM_AB_ONLY=name1,name2 runs a subset — for flap-constrained windows
+    # where the fresh-compile variants must be prioritized
+    only = os.environ.get("RMM_AB_ONLY")
+    selected = {n: v for n, v in VARIANTS.items()
+                if not only or n in only.split(",")}
+    for name, (env, _) in selected.items():
         # APPEND to PYTHONPATH — replacing it drops /root/.axon_site and
         # the subprocess cannot register the axon platform at all
         pp = os.pathsep.join(
