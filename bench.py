@@ -476,7 +476,11 @@ def main():
     ssl_widths = [int(w) for w in os.environ.get(
         "BENCH_SSL_CHANNELS", "128,96,64").split(",")]
     for width in ssl_widths:
-        for disable_pallas in (False, True):
+        # below C=128 head_dim < 16 already routes around the kernel
+        # (transformer.py gate) — a no-pallas retry would recompile the
+        # IDENTICAL program, wasting a remote-compile attempt
+        retries = (False, True) if width // 8 >= 16 else (False,)
+        for disable_pallas in retries:
             try:
                 if disable_pallas:
                     os.environ["RMM_DISABLE_PALLAS"] = "1"
