@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--model", default="tabgnn", type=str)
     p.add_argument("--out", default="outputs/scale", type=str)
     p.add_argument("--steps_per_dispatch", default=1, type=int)
+    p.add_argument("--batch_size", default=200, type=int,
+                   help="record config is 200; 800 is the measured "
+                        "capacity-saturation sweet spot on TPU v5e "
+                        "(docs/PERF.md lever ladder)")
     p.add_argument("--sampler_threads", default=4, type=int)
     p.add_argument("--host_only", action="store_true")
     p.add_argument("--cpu", action="store_true")
@@ -86,7 +90,7 @@ def main(argv=None):
 
     # supervised config of record (main.py:161-190, utils.py:40-44)
     cfg = Config(model=args.model, data=csv, task="edge_classification",
-                 batch_size=200, n_hidden=32, n_gnn_layers=2,
+                 batch_size=args.batch_size, n_hidden=32, n_gnn_layers=2,
                  num_neighs=(100, 100), epochs=args.epochs,
                  steps_per_dispatch=args.steps_per_dispatch,
                  sampler_threads=args.sampler_threads, testing=True)
@@ -110,9 +114,10 @@ def main(argv=None):
     cal_sec = time.time() - t0
     t0 = time.time()
     for i in range(n_probe):
-        ds.get_graph_inputs(y[i * 200:(i + 1) * 200], 200, "train",
+        bs = args.batch_size
+        ds.get_graph_inputs(y[i * bs:(i + 1) * bs], bs, "train",
                             rng_seed=i)
-    sampler_rps = n_probe * 200 / (time.time() - t0)
+    sampler_rps = n_probe * args.batch_size / (time.time() - t0)
     print(f"sampler: {sampler_rps:,.0f} rows/s on the "
           f"{ds.graph.num_edges / 1e6:.1f}M-edge CSR; capacities "
           f"edge={trainer.cfg.edge_capacity} node={trainer.cfg.node_capacity} "
@@ -149,12 +154,17 @@ def main(argv=None):
 
     last = history[-1]
     best_rec = max(history, key=lambda r: r.get("val_f1", -1))
+    import jax
+
     summary = {
         "rows": args.rows,
         "edges": int(ds.graph.num_edges),
         "nodes": int(ds.graph.num_nodes),
         "model": args.model,
         "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
         "gen_sec": round(gen_sec, 1),
         "dataset_build_sec": round(build_sec, 1),
         "edge_capacity": trainer.cfg.edge_capacity,
